@@ -1,0 +1,41 @@
+"""Positional encodings for 4D (x, y, z, t) query points.
+
+Matches the reference encoder (sunerf/model/model.py:92-132):
+gamma(x) = [x, sin(x * 2^k / s), cos(x * 2^k / s)] for k = 0..n_freqs-1 with
+scale factor s (default 2, i.e. a 4*pi box), frequency-major layout so weights
+are interchangeable with the reference ordering.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def encoded_dim(d_input: int, n_freqs: int) -> int:
+    return d_input * (1 + 2 * n_freqs)
+
+
+def positional_encoding(x: jnp.ndarray, n_freqs: int = 10,
+                        scale_factor: float = 2.0,
+                        log_space: bool = True) -> jnp.ndarray:
+    """Apply sine-cosine positional encoding.
+
+    Args:
+        x: [..., D] input points.
+        n_freqs: number of frequency bands.
+        scale_factor: divides the frequency (2 -> box limit 4*pi).
+        log_space: frequencies 2^0..2^(n-1); else linear between the same endpoints.
+
+    Returns:
+        [..., D * (1 + 2*n_freqs)] with layout [x, sin(f0*x_all_dims),
+        sin(f1*x_all_dims), ..., cos(f0*x_all_dims), ...] (frequency-major,
+        matching reference model.py:127-131).
+    """
+    if log_space:
+        freq_bands = 2.0 ** jnp.linspace(0.0, n_freqs - 1, n_freqs, dtype=x.dtype)
+    else:
+        freq_bands = jnp.linspace(2.0 ** 0, 2.0 ** (n_freqs - 1), n_freqs, dtype=x.dtype)
+    # [..., F, D]
+    scaled = x[..., None, :] * (freq_bands[:, None] / scale_factor)
+    batch_shape = x.shape[:-1]
+    flat = scaled.reshape(*batch_shape, -1)
+    return jnp.concatenate([x, jnp.sin(flat), jnp.cos(flat)], axis=-1)

@@ -1,0 +1,144 @@
+"""Neural field models: the SuNeRF MLP and its density-temperature variant.
+
+TPU-native redesign of the reference models (sunerf/model/model.py:7-187):
+pure param pytrees + pure apply functions (no module objects on the hot path),
+a `lax.scan` over stacked hidden layers (one traced matmul, MXU-resident), and
+a single FieldOutput contract shared by every head — fixing the reference's
+mid-refactor regression where NeRF.forward returns a dict the emission path
+can't consume (model.py:57 vs base_tracing.py:123-125, SURVEY §2.5-1).
+
+Architecture parity: 8 layers x 512 wide, Sine activation (w0=1), positional
+encoding 4 -> 84 dims (10 log-spaced freqs), 2 outputs; ~1.88 M params.
+Init matches torch.nn.Linear defaults: U(-1/sqrt(fan_in), +1/sqrt(fan_in))
+for both weights and biases.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sunerf_tpu.core.encoding import encoded_dim, positional_encoding
+
+# AIA wavelength channels, index order used everywhere a per-wavelength
+# parameter or response table appears (reference model.py:157-165).
+AIA_WAVELENGTHS = (94, 131, 171, 193, 211, 304, 335)
+
+
+class FieldOutput(NamedTuple):
+    """Uniform output contract for every field model.
+
+    raw: [N, d_output] raw head inputs (emission/absorption or log-rho/log-T).
+    log_abs: [7] per-wavelength log absorption (DT heads) or None.
+    vol_c: scalar volumetric constant (DT heads) or None.
+    """
+    raw: jnp.ndarray
+    log_abs: Optional[jnp.ndarray] = None
+    vol_c: Optional[jnp.ndarray] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    """Static configuration of the SuNeRF MLP (hashable; safe to close over jit)."""
+    d_input: int = 4
+    d_output: int = 2
+    n_layers: int = 8
+    d_filter: int = 512
+    n_freqs: int = 10
+    scale_factor: float = 2.0
+    # density-temperature variant (reference NeRF_DT, model.py:136-187)
+    base_log_density: float = 0.0
+    base_log_temperature: float = 0.0
+    with_aux: bool = False  # learnable per-wavelength log_abs + volumetric constant
+    # matmul precision for the hot path; 'highest' for parity tests,
+    # 'default' lets XLA use fast bf16 passes on the MXU.
+    precision: str = 'default'
+
+    @property
+    def d_encoded(self) -> int:
+        return encoded_dim(self.d_input, self.n_freqs)
+
+
+def _linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32):
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(float(fan_in))
+    w = jax.random.uniform(wkey, (fan_in, fan_out), dtype, -bound, bound)
+    b = jax.random.uniform(bkey, (fan_out,), dtype, -bound, bound)
+    return w, b
+
+
+def init_nerf(key: jax.Array, config: NeRFConfig) -> dict:
+    """Initialize the param pytree. Hidden layers are stacked [L-1, d, d] so the
+    forward pass is a single lax.scan (one compiled matmul, not L-1 of them)."""
+    n_hidden = config.n_layers - 1
+    keys = jax.random.split(key, n_hidden + 2)
+    w_in, b_in = _linear_init(keys[0], config.d_encoded, config.d_filter)
+    hidden = [_linear_init(k, config.d_filter, config.d_filter) for k in keys[1:1 + n_hidden]]
+    w_out, b_out = _linear_init(keys[-1], config.d_filter, config.d_output)
+    params = {
+        'w_in': w_in, 'b_in': b_in,
+        'w_h': jnp.stack([w for w, _ in hidden]),
+        'b_h': jnp.stack([b for _, b in hidden]),
+        'w_out': w_out, 'b_out': b_out,
+    }
+    if config.with_aux:
+        params['log_abs'] = jnp.full((len(AIA_WAVELENGTHS),), 1e-6, jnp.float32)
+        params['vol_c'] = jnp.asarray(1.0, jnp.float32)
+    return params
+
+
+def _precision(config: NeRFConfig):
+    return {'default': None,
+            'high': jax.lax.Precision.HIGH,
+            'highest': jax.lax.Precision.HIGHEST}[config.precision]
+
+
+def nerf_apply(config: NeRFConfig, params: dict, points: jnp.ndarray) -> FieldOutput:
+    """Evaluate the field at query points.
+
+    Args:
+        points: [N, d_input] (x, y, z, t) query points.
+
+    Returns:
+        FieldOutput with raw [N, d_output] (+ aux params for DT configs).
+    """
+    prec = _precision(config)
+    x = positional_encoding(points, config.n_freqs, config.scale_factor)
+    h = jnp.sin(jnp.dot(x, params['w_in'], precision=prec) + params['b_in'])
+
+    def layer(h, wb):
+        w, b = wb
+        return jnp.sin(jnp.dot(h, w, precision=prec) + b), None
+
+    h, _ = jax.lax.scan(layer, h, (params['w_h'], params['b_h']))
+    raw = jnp.dot(h, params['w_out'], precision=prec) + params['b_out']
+
+    if config.base_log_density or config.base_log_temperature:
+        raw = raw + jnp.asarray(
+            [config.base_log_density, config.base_log_temperature], raw.dtype)
+
+    if config.with_aux:
+        return FieldOutput(raw=raw, log_abs=params['log_abs'], vol_c=params['vol_c'])
+    return FieldOutput(raw=raw)
+
+
+def emission_config(**overrides) -> NeRFConfig:
+    """Emission head field: (x,y,z,t) -> (log emission, absorption)
+    (reference EmissionModel / rendering/emission.py:9-12)."""
+    return NeRFConfig(d_input=4, d_output=2, **overrides)
+
+
+def density_temperature_config(**overrides) -> NeRFConfig:
+    """DT head field: (x,y,z,t) -> (log density + 10, log10 T + 5) with learnable
+    per-wavelength log absorption and volumetric constant
+    (reference NeRF_DT, model.py:136-187)."""
+    defaults = dict(d_input=4, d_output=2, base_log_density=10.0,
+                    base_log_temperature=5.0, with_aux=True)
+    defaults.update(overrides)
+    return NeRFConfig(**defaults)
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

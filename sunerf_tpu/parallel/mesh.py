@@ -1,0 +1,59 @@
+"""Device mesh and sharding helpers.
+
+The workload is embarrassingly parallel over rays, so the parallel design is a
+1-D data mesh: ray batches sharded on the batch axis, field parameters
+replicated, gradients all-reduced by XLA over ICI (GSPMD inserts the psum).
+This replaces the reference's single-process nn.DataParallel scatter/gather
+(run_emission.py:64-69, evaluation/loader.py:37-39) and its explicit
+batch_size * N_GPUS scaling (single_channel.py:67-68).
+
+Multi-host: call jax.distributed.initialize() before make_mesh() and the same
+code spans hosts over DCN (GSPMD handles the boundary).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (ray batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (params, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict, axis_name: str = DATA_AXIS) -> dict:
+    """Place a host batch onto the mesh, sharded along axis 0.
+
+    Batch sizes must be divisible by the mesh size — the data pipeline
+    pre-shards ray bundles to mesh-aligned sizes.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree.map(lambda x: jax.device_put(x, replicated_sharding(mesh)), tree)
+
+
+def global_batch_size(per_chip_batch: int, mesh: Optional[Mesh] = None) -> int:
+    """global batch = per-chip batch x mesh size (replaces the reference's
+    batch_size * N_GPUS at single_channel.py:67-68)."""
+    n = mesh.size if mesh is not None else jax.device_count()
+    return per_chip_batch * n

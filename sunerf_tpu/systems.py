@@ -1,0 +1,103 @@
+"""System factories wiring fields, heads, and renderers together.
+
+These are the programmatic equivalents of the reference's Lightning modules
+(sunerf/model/sunerf.py:77-224) and the analytic/MHD model loaders
+(evaluation/image_render.py:235-269): each factory returns a Renderer plus an
+init function for its parameters.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+
+from sunerf_tpu.models.fields import (NeRFConfig, density_temperature_config,
+                                      emission_config, init_nerf, nerf_apply)
+from sunerf_tpu.models.simple_star import (SimpleStarConfig, init_simple_star,
+                                           simple_star_apply)
+from sunerf_tpu.ops.tresp import TemperatureResponse, load_aia_response
+from sunerf_tpu.rendering.density_temperature import DensityTemperatureHead
+from sunerf_tpu.rendering.emission import EmissionHead
+from sunerf_tpu.rendering.renderer import Renderer
+from sunerf_tpu.rendering.thomson import ThomsonHead
+
+
+def make_emission_system(Rs_per_ds: float = 1.0,
+                         model_config: Optional[NeRFConfig] = None,
+                         **render_kwargs):
+    """Emission SuNeRF: NeRF field + emission/absorption quadrature
+    (reference EmissionSuNeRFModule, sunerf.py:77-149)."""
+    config = model_config or emission_config()
+    head = EmissionHead(Rs_per_ds=Rs_per_ds)
+    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+                        head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
+
+    def init(key: jax.Array) -> dict:
+        k1, k2 = jax.random.split(key)
+        return {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+
+    return renderer, init
+
+
+def make_density_temperature_system(Rs_per_ds: float = 1.0,
+                                    model_config: Optional[NeRFConfig] = None,
+                                    response: Optional[TemperatureResponse] = None,
+                                    pixel_intensity_factor: float = 1e17,
+                                    **render_kwargs):
+    """DT SuNeRF: NeRF_DT field + multi-channel AIA synthesis
+    (reference DensityTemperatureSuNeRFModule, sunerf.py:152-224; default
+    pixel_intensity_factor 1e17 from sunerf.py:155)."""
+    config = model_config or density_temperature_config()
+    response = response or load_aia_response()
+    head = DensityTemperatureHead(response=response,
+                                  pixel_intensity_factor=pixel_intensity_factor,
+                                  Rs_per_ds=Rs_per_ds)
+    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+                        head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
+
+    def init(key: jax.Array) -> dict:
+        k1, k2 = jax.random.split(key)
+        return {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+
+    return renderer, init
+
+
+def make_simple_star_renderer(Rs_per_ds: float = 1.0,
+                              star_config: SimpleStarConfig = SimpleStarConfig(),
+                              response: Optional[TemperatureResponse] = None,
+                              pixel_intensity_factor: float = 1e10,
+                              **render_kwargs):
+    """Analytic SimpleStar rendered through the DT head — used to manufacture
+    synthetic training sets and for closed-loop tests (reference
+    image_render.py:235-259 with config/render_mhd.yaml; default
+    pixel_intensity_factor 1e10 from density_temperature.py:99)."""
+    response = response or load_aia_response()
+    head = DensityTemperatureHead(response=response,
+                                  pixel_intensity_factor=pixel_intensity_factor,
+                                  Rs_per_ds=Rs_per_ds)
+    renderer = Renderer(field_apply=functools.partial(simple_star_apply, star_config),
+                        head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
+
+    def init(_key: jax.Array = None) -> dict:
+        p = init_simple_star(star_config)
+        return {'coarse': p, 'fine': p}
+
+    return renderer, init
+
+
+def make_thomson_system(Rs_per_ds: float = 1.0,
+                        model_config: Optional[NeRFConfig] = None,
+                        **render_kwargs):
+    """White-light Thomson-scattering SuNeRF (reference rendering/thompson.py,
+    orphaned there; first-class here)."""
+    config = model_config or emission_config()
+    head = ThomsonHead(Rs_per_ds=Rs_per_ds)
+    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+                        head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
+
+    def init(key: jax.Array) -> dict:
+        k1, k2 = jax.random.split(key)
+        return {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+
+    return renderer, init

@@ -1,0 +1,97 @@
+"""Density-temperature head tests: response lookup, channel masking, trapezoid
+quadrature golden values (reference density_temperature.py:192-271)."""
+import jax.numpy as jnp
+import numpy as np
+
+from sunerf_tpu.models.fields import FieldOutput
+from sunerf_tpu.ops.tresp import TemperatureResponse, load_aia_response
+from sunerf_tpu.rendering.density_temperature import (DensityTemperatureHead,
+                                                      cumtrapz, trapz)
+
+
+def _toy_response():
+    """Analytically simple response: R_c(logT) = (c+1) * logT on [0, 10]."""
+    logte = jnp.linspace(0.0, 10.0, 11)
+    tresp = jnp.stack([(c + 1.0) * logte for c in range(7)])
+    return TemperatureResponse(logte=logte, tresp=tresp)
+
+
+def test_cumtrapz_and_trapz():
+    x = jnp.array([[0.0, 1.0, 3.0]])
+    y = jnp.array([[[1.0], [3.0], [5.0]]])  # [1, 3, 1]
+    ct = np.asarray(cumtrapz(y, x))
+    np.testing.assert_allclose(ct[0, :, 0], [2.0, 10.0], atol=1e-6)
+    t = np.asarray(trapz(y, x))
+    np.testing.assert_allclose(t[0, 0], 10.0, atol=1e-6)
+
+
+def test_real_response_loads_and_interpolates():
+    r = load_aia_response()
+    assert r.logte.shape == (101,) and r.tresp.shape == (7, 101)
+    vals = np.asarray(r.evaluate_all(jnp.array([6.0])))
+    assert vals.shape == (7, 1)
+    assert np.all(vals > 0)  # every channel responds at 1 MK
+    # extrapolation is zero outside the table
+    out = np.asarray(r.evaluate_all(jnp.array([3.0, 9.9])))
+    np.testing.assert_allclose(out, 0.0, atol=1e-30)
+    # 171 A (index 2) peaks near logT ~ 5.9
+    peak_t = np.asarray(r.logte)[np.argmax(np.asarray(r.tresp)[2])]
+    assert 5.5 < peak_t < 6.2
+
+
+def test_channel_masking_zeroes_missing_wavelengths():
+    head = DensityTemperatureHead(response=_toy_response(),
+                                  pixel_intensity_factor=1.0)
+    R, S = 2, 8
+    raw = jnp.stack([jnp.full((R, S), 1.0), jnp.full((R, S), 5.0)], axis=-1)
+    field_out = FieldOutput(raw=raw, log_abs=jnp.zeros(7), vol_c=jnp.asarray(1.0))
+    z = jnp.broadcast_to(jnp.linspace(0.0, 1.0, S), (R, S))
+    wl = jnp.array([[94.0, 193.0], [94.0, 0.0]])  # ray 1 lacks channel 2
+    out = head.raw2outputs(field_out, z, jnp.zeros((R, 3)),
+                           jnp.ones((R, 3)), jnp.zeros((R, S, 3)), wl)
+    img = np.asarray(out['image'])
+    assert img.shape == (2, 2)
+    assert img[1, 1] == 0.0          # masked channel renders zero
+    assert img[0, 0] == img[1, 0]    # shared channel identical across rays
+    assert img[0, 1] > img[0, 0]     # toy response scales with channel index
+
+
+def test_dt_quadrature_golden():
+    """Constant density rho and zero absorption: I = rho^2 * R(logT) * L * pif."""
+    head = DensityTemperatureHead(response=_toy_response(),
+                                  pixel_intensity_factor=2.0)
+    R, S, L = 1, 64, 3.0
+    log_rho, log_t = 1.0, 5.0
+    raw = jnp.stack([jnp.full((R, S), log_rho), jnp.full((R, S), log_t)], axis=-1)
+    field_out = FieldOutput(raw=raw, log_abs=jnp.zeros(7), vol_c=jnp.asarray(1.5))
+    z = jnp.linspace(0.0, L, S)[None, :]
+    wl = jnp.array([[94.0]])
+    out = head.raw2outputs(field_out, z, jnp.zeros((R, 3)),
+                           jnp.ones((R, 3)), jnp.zeros((R, S, 3)), wl)
+    rho = np.exp(log_rho)
+    resp = 1.0 * log_t  # channel 0 toy response at logT=5
+    # integration runs over z[:, :-1] (S-1 points), matching the reference
+    length = L * (S - 2) / (S - 1)
+    expected = rho ** 2 * resp * length * 1.5 * 2.0
+    np.testing.assert_allclose(np.asarray(out['image'])[0, 0], expected, rtol=1e-5)
+
+
+def test_dt_absorption_attenuates():
+    head = DensityTemperatureHead(response=_toy_response(),
+                                  pixel_intensity_factor=1.0)
+    R, S = 1, 64
+    raw = jnp.stack([jnp.full((R, S), 1.0), jnp.full((R, S), 5.0)], axis=-1)
+    z = jnp.linspace(0.0, 3.0, S)[None, :]
+    wl = jnp.array([[94.0]])
+    args = (z, jnp.zeros((R, 3)), jnp.ones((R, 3)), jnp.zeros((R, S, 3)), wl)
+    free = head.raw2outputs(FieldOutput(raw=raw, log_abs=jnp.zeros(7),
+                                        vol_c=jnp.asarray(1.0)), *args)
+    absorbed = head.raw2outputs(FieldOutput(raw=raw, log_abs=jnp.full(7, 0.5),
+                                            vol_c=jnp.asarray(1.0)), *args)
+    assert np.asarray(absorbed['image'])[0, 0] < np.asarray(free['image'])[0, 0]
+
+
+def test_dt_regularization():
+    head = DensityTemperatureHead(response=_toy_response())
+    reg = head.regularization(jnp.full((2, 4), 2.0), jnp.full((2, 4), 3.0))
+    np.testing.assert_allclose(np.asarray(reg), 0.75 * 3.0, rtol=1e-5)

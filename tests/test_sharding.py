@@ -1,0 +1,95 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh: sharded and
+single-device training must agree numerically; rendering tiles across chips."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sunerf_tpu.models.fields import emission_config, init_nerf, nerf_apply
+from sunerf_tpu.parallel.mesh import (global_batch_size, make_mesh,
+                                      replicate, shard_batch)
+from sunerf_tpu.rendering.emission import EmissionHead
+from sunerf_tpu.rendering.renderer import Renderer
+from sunerf_tpu.train.objective import LossConfig
+from sunerf_tpu.train.optim import OptimConfig, make_optimizer
+from sunerf_tpu.train.step import (create_train_state, make_eval_step,
+                                   make_train_step)
+
+
+def _setup(n_rays):
+    config = emission_config(n_layers=2, d_filter=32)
+    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+                        head=EmissionHead(), n_stratified=8, n_hierarchical=8,
+                        perturb=False)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    params = {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+    key = jax.random.key(5)
+    rays_o = jnp.tile(jnp.array([[4.0, 0.0, 0.0]]), (n_rays, 1))
+    dirs = jnp.array([[-1.0, 0.0, 0.0]]) + 0.1 * jax.random.normal(key, (n_rays, 3))
+    rays_d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    batch = {'rays': jnp.stack([rays_o, rays_d], axis=1),
+             'time': jnp.zeros((n_rays, 1)),
+             'target_image': jnp.full((n_rays, 1), 0.05)}
+    return renderer, params, batch
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_sharded_train_step_matches_single_device():
+    renderer, params, batch = _setup(n_rays=64)
+    loss_config = LossConfig()
+    optimizer = make_optimizer(OptimConfig())
+    key = jax.random.key(11)
+
+    # single device
+    step1 = make_train_step(renderer, loss_config, optimizer, donate=False)
+    state1 = create_train_state(params, optimizer)
+    state1, m1 = step1(state1, batch, key)
+
+    # 8-device mesh
+    mesh = make_mesh()
+    step8 = make_train_step(renderer, loss_config, optimizer, mesh=mesh,
+                            donate=False)
+    state8 = create_train_state(params, optimizer)
+    state8 = jax.tree.map(lambda x: x, state8)
+    state8 = replicate(mesh, state8)
+    sharded = shard_batch(mesh, batch)
+    state8, m8 = step8(state8, sharded, key)
+
+    np.testing.assert_allclose(float(m1['loss']), float(m8['loss']), rtol=1e-5)
+    for l1, l8 in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_multi_step_training_runs():
+    renderer, params, batch = _setup(n_rays=128)
+    mesh = make_mesh()
+    optimizer = make_optimizer()
+    step = make_train_step(renderer, LossConfig(), optimizer, mesh=mesh)
+    state = replicate(mesh, create_train_state(params, optimizer))
+    sharded = shard_batch(mesh, batch)
+    key = jax.random.key(0)
+    for _ in range(3):
+        state, metrics = step(state, sharded, key)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 3
+
+
+def test_sharded_eval_matches_single_device():
+    renderer, params, batch = _setup(n_rays=64)
+    mesh = make_mesh()
+    single = make_eval_step(renderer)
+    sharded = make_eval_step(renderer, mesh=mesh)
+    out1 = single(params, batch)
+    out8 = sharded(replicate(mesh, params), shard_batch(mesh, batch))
+    np.testing.assert_allclose(np.asarray(out1['image']),
+                               np.asarray(out8['image']), rtol=1e-5, atol=1e-7)
+
+
+def test_global_batch_size():
+    mesh = make_mesh()
+    assert global_batch_size(1024, mesh) == 8192

@@ -1,0 +1,106 @@
+"""Training tests: LR schedule parity, loss assembly, single-device smoke
+training (loss decreases on a fixed target), and the genx reader."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sunerf_tpu.core.scaling import image_asinh_scaling
+from sunerf_tpu.models.fields import emission_config, init_nerf, nerf_apply
+from sunerf_tpu.rendering.emission import EmissionHead
+from sunerf_tpu.rendering.renderer import Renderer
+from sunerf_tpu.train.objective import LossConfig, render_loss
+from sunerf_tpu.train.optim import OptimConfig, lr_schedule, make_optimizer
+from sunerf_tpu.train.step import create_train_state, make_train_step
+
+
+def test_lr_schedule_decay_and_floor():
+    """1e-4 -> 1e-5 over 1e6 steps, floored at 5e-5 (sunerf.py:28-40)."""
+    sched = lr_schedule(OptimConfig())
+    assert np.isclose(float(sched(0)), 1e-4)
+    # decays by 10x over 1e6 steps without the floor; floor kicks in at
+    # step where 1e-4 * 0.1^(s/1e6) = 5e-5 -> s = 1e6 * log10(2) ~ 301030
+    assert float(sched(100_000)) < 1e-4
+    assert np.isclose(float(sched(2_000_000)), 5e-5)
+    assert np.isclose(float(sched(301_030)), 5e-5, rtol=1e-3)
+
+
+def test_asinh_scaling_golden():
+    img = jnp.array([0.0, 0.005, 1.0])
+    out = np.asarray(image_asinh_scaling(img, vmax=1.0, a=0.005))
+    norm = np.arcsinh(1 / 0.005)
+    np.testing.assert_allclose(out, [0.0, np.arcsinh(1.0) / norm, 1.0],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_render_loss_assembly():
+    config = LossConfig(lambda_image=2.0, lambda_regularization=0.5,
+                        image_scaling='none')
+    outputs = {'coarse_image': jnp.ones((4, 1)) * 2.0,
+               'fine_image': jnp.ones((4, 1)) * 3.0,
+               'regularization': jnp.ones((4, 8)) * 0.1}
+    target = jnp.ones((4, 1))
+    loss, metrics = render_loss(config, outputs, target)
+    np.testing.assert_allclose(float(loss), 2.0 * (1.0 + 4.0) + 0.5 * 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(metrics['psnr']),
+                               -10 * np.log10(4.0), rtol=1e-5)
+
+
+def _tiny_setup(n_rays=32):
+    config = emission_config(n_layers=2, d_filter=32)
+    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+                        head=EmissionHead(), n_stratified=8, n_hierarchical=8)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    params = {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+
+    key = jax.random.key(42)
+    rays_o = jnp.tile(jnp.array([[4.0, 0.0, 0.0]]), (n_rays, 1))
+    dirs = jnp.array([[-1.0, 0.0, 0.0]]) + 0.1 * jax.random.normal(key, (n_rays, 3))
+    rays_d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    batch = {
+        'rays': jnp.stack([rays_o, rays_d], axis=1),
+        'time': jnp.zeros((n_rays, 1)),
+        'target_image': jnp.full((n_rays, 1), 0.05),
+    }
+    return renderer, params, batch
+
+
+def test_train_step_decreases_loss():
+    renderer, params, batch = _tiny_setup()
+    loss_config = LossConfig(lambda_regularization=0.0)
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3))
+    step = make_train_step(renderer, loss_config, optimizer)
+    state = create_train_state(params, optimizer)
+    key = jax.random.key(7)
+
+    first = None
+    for i in range(30):
+        state, metrics = step(state, batch, key)
+        if first is None:
+            first = float(metrics['loss'])
+    last = float(metrics['loss'])
+    assert last < first * 0.5, f'loss did not decrease: {first} -> {last}'
+    assert int(state.step) == 30
+
+
+def test_train_step_metrics_finite():
+    renderer, params, batch = _tiny_setup()
+    optimizer = make_optimizer()
+    step = make_train_step(renderer, LossConfig(), optimizer)
+    state = create_train_state(params, optimizer)
+    state, metrics = step(state, batch, jax.random.key(0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_genx_reader_roundtrip():
+    from sunerf_tpu.data.genx import read_genx
+    d = read_genx('/root/reference/sunerf/data/aia_temp_resp.genx')
+    assert set(d.keys()) == {'A94', 'A131', 'A171', 'A193', 'A211', 'A304',
+                             'A335', 'HEADER'}
+    a171 = d['A171']
+    assert a171['NAME'] == 'A171'
+    assert a171['UNITS'] == 'DN cm^5 s^-1 pix^-1'
+    assert len(a171['LOGTE']) == 101 and len(a171['TRESP']) == 101
+    assert float(np.max(a171['TRESP'])) > 1e-25  # 171 A is the strongest channel
