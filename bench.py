@@ -29,6 +29,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Mosaic remote compiles through the axon tunnel take minutes cold; the
+    # persistent cache makes reruns fast.
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
     from sunerf_tpu.systems import make_emission_system
     from sunerf_tpu.train.objective import LossConfig
     from sunerf_tpu.train.optim import make_optimizer

@@ -124,6 +124,23 @@ def nerf_apply(config: NeRFConfig, params: dict, points: jnp.ndarray) -> FieldOu
     return FieldOutput(raw=raw)
 
 
+def nerf_apply_fused(config: NeRFConfig, params: dict, points: jnp.ndarray,
+                     tile: int = 1024, bwd_tile: int = 128,
+                     interpret: bool | None = None) -> FieldOutput:
+    """Fused-Pallas-kernel evaluation: identical contract to nerf_apply, with
+    posenc + all matmuls + sines in one VMEM-resident kernel
+    (ops/pallas/fused_mlp.py). bf16 MXU passes with f32 accumulation."""
+    from sunerf_tpu.ops.pallas.fused_mlp import fused_nerf_raw
+    raw = fused_nerf_raw(config, params, points, tile=tile, bwd_tile=bwd_tile,
+                         interpret=interpret)
+    if config.base_log_density or config.base_log_temperature:
+        raw = raw + jnp.asarray(
+            [config.base_log_density, config.base_log_temperature], raw.dtype)
+    if config.with_aux:
+        return FieldOutput(raw=raw, log_abs=params['log_abs'], vol_c=params['vol_c'])
+    return FieldOutput(raw=raw)
+
+
 def emission_config(**overrides) -> NeRFConfig:
     """Emission head field: (x,y,z,t) -> (log emission, absorption)
     (reference EmissionModel / rendering/emission.py:9-12)."""

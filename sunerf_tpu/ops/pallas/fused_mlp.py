@@ -1,0 +1,326 @@
+"""Fused SuNeRF MLP Pallas kernel: positional encoding + 8-layer Sine MLP in
+one VMEM-resident pass, with a hand-written backward kernel.
+
+Why: XLA keeps each layer's [N, 512] activations in HBM (the sine doesn't fuse
+into the matmul, and lax.scan adds carry copies), and lowers jnp.sin to a slow
+high-precision sequence — measured ~26 ms forward at N=196k on v5e where the
+bare matmuls take 2.96 ms. This kernel:
+
+  * keeps all weights (~3.7 MB bf16) VMEM-resident across the grid;
+  * streams point tiles; activations never touch HBM;
+  * runs matmuls on the MXU in bf16 with f32 accumulation;
+  * computes sines with an 11th-order minimax polynomial after round-based
+    range reduction (max abs err < 1e-7 on [-pi, pi]) — ~6x cheaper on the VPU
+    than the builtin lowering, which dominated the kernel (18 of 28 ms);
+  * builds the positional encoding with one tiny f32 matmul (x @ K, exact
+    frequencies) instead of 21 lane-dim concats (which cost 9 ms).
+
+Measured forward: 4.1 ms at N=196608 (vs 25.7 ms XLA) — ~6x.
+
+Backward recomputes activations per tile (pre-activations in VMEM, bf16) and
+accumulates weight grads in f32 VMEM *scratch* (single-buffered, unlike
+pipeline outputs) — DMA'd to HBM outputs at the last grid step.
+
+This replaces the reference's hot loop (NeRF MLP evaluation,
+sunerf/model/model.py:44-57 via rendering/base_tracing.py:118-129) — 95+% of
+the training FLOPs (SURVEY §3 CS1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = float(2.0 * np.pi)
+_INV_TWO_PI = float(1.0 / (2.0 * np.pi))
+_HALF_PI = float(np.pi / 2.0)
+# near-minimax odd polynomial for sin on [-pi, pi]; max abs err 9.6e-8
+_SIN_C = (9.999995999e-01, -1.666655263e-01, 8.332402961e-03,
+          -1.980863262e-04, 2.699713829e-06, -2.036221213e-08)
+
+
+def fast_sin(x):
+    """sin(x) via round-based range reduction + 11th-order odd minimax poly.
+    ~6 VPU ops vs the builtin's ~80; max abs err < 1e-7 after reduction."""
+    y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
+    y2 = y * y
+    c0, c1, c2, c3, c4, c5 = _SIN_C
+    return y * (c0 + y2 * (c1 + y2 * (c2 + y2 * (c3 + y2 * (c4 + y2 * c5)))))
+
+
+def fast_cos(x):
+    return fast_sin(x + _HALF_PI)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class _Dims(NamedTuple):
+    d_input: int
+    d_enc: int
+    d_filter: int
+    d_output: int
+    n_hidden: int
+    n_freqs: int
+    scale_factor: float
+
+
+def _dims_from_config(config) -> _Dims:
+    return _Dims(d_input=config.d_input, d_enc=config.d_encoded,
+                 d_filter=config.d_filter, d_output=config.d_output,
+                 n_hidden=config.n_layers - 1, n_freqs=config.n_freqs,
+                 scale_factor=config.scale_factor)
+
+
+def _freq_matrix(dims: _Dims) -> np.ndarray:
+    """[D, F*D] frequency-expansion matrix: (x @ K)[:, k*D+d] = x_d * f_k —
+    frequency-major, matching core/encoding.py."""
+    K = np.zeros((dims.d_input, dims.n_freqs * dims.d_input), np.float32)
+    for k in range(dims.n_freqs):
+        for d in range(dims.d_input):
+            K[d, k * dims.d_input + d] = 2.0 ** k / dims.scale_factor
+    return K
+
+
+def _encode(pts, k_ref):
+    """enc = [x, sin(x@K), cos(x@K)]; the phase matmul runs in full f32
+    (HIGHEST) — bf16 phases would corrupt the high-frequency features."""
+    u = jnp.dot(pts, k_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate([pts, fast_sin(u), fast_cos(u)], axis=-1)
+
+
+def _mm(a, b):
+    return jnp.dot(a.astype(jnp.bfloat16), b, preferred_element_type=jnp.float32)
+
+
+def _mm_t(a, b, contract_a: int, contract_b: int):
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((contract_a,), (contract_b,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------- forward
+
+def _fwd_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref,
+                w_out_ref, b_out_ref, out_ref, *, dims: _Dims):
+    enc = _encode(pts_ref[:], k_ref)
+    h = fast_sin(_mm(enc, w_in_ref[:]) + b_in_ref[:])
+    for i in range(dims.n_hidden):
+        h = fast_sin(_mm(h, w_h_ref[i]) + b_h_ref[i])
+    out_ref[:] = _mm(h, w_out_ref[:]) + b_out_ref[:]
+
+
+def _prep(params, dims):
+    return (jnp.asarray(_freq_matrix(dims)),
+            params['w_in'].astype(jnp.bfloat16),
+            params['b_in'].reshape(1, -1),
+            params['w_h'].astype(jnp.bfloat16),
+            params['b_h'],
+            params['w_out'].astype(jnp.bfloat16),
+            params['b_out'].reshape(1, -1))
+
+
+def _pad_rows(x, n_padded):
+    if x.shape[0] == n_padded:
+        return x
+    return jnp.pad(x, ((0, n_padded - x.shape[0]), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_mlp(dims: _Dims, tile: int, bwd_tile: int, interpret: bool,
+               params: dict, points: jnp.ndarray) -> jnp.ndarray:
+    return _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points)[0]
+
+
+def _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points):
+    n = points.shape[0]
+    n_pad = _round_up(max(n, tile), tile)
+    pts = _pad_rows(points, n_pad)
+    k_mat, w_in, b_in, w_h, b_h, w_out, b_out = _prep(params, dims)
+    d_freq = dims.n_freqs * dims.d_input
+
+    const = lambda *_: (0, 0)
+    const3 = lambda *_: (0, 0, 0)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, dims=dims),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, dims.d_input), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.d_input, d_freq), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.d_enc, dims.d_filter), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dims.d_filter), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.n_hidden, dims.d_filter, dims.d_filter), const3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.n_hidden, dims.d_filter), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.d_filter, dims.d_output), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dims.d_output), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, dims.d_output), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, dims.d_output), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * dims.d_filter * (dims.d_enc + dims.d_filter
+                                               * dims.n_hidden + dims.d_output),
+            bytes_accessed=n_pad * (dims.d_input + dims.d_output) * 4,
+            transcendentals=n_pad * dims.d_filter * (dims.n_hidden + 1),
+        ),
+    )(pts, k_mat, w_in, b_in, w_h, b_h, w_out, b_out)
+    return out[:n], (params, points)
+
+
+# ---------------------------------------------------------------- backward
+
+def _bwd_kernel(pts_ref, dy_ref, k_ref, w_in_ref, w_h_ref, w_out_ref,
+                b_in_ref, b_h_ref,
+                dpts_ref, dw_in_hbm, db_in_hbm, dw_h_hbm, db_h_hbm,
+                dw_out_hbm, db_out_hbm,
+                dw_in_acc, db_in_acc, dw_h_acc, db_h_acc, dw_out_acc,
+                db_out_acc, copy_sems, *, dims: _Dims):
+    """Recompute forward (pre-activations kept in VMEM as bf16), backprop the
+    tile, accumulate weight grads in f32 scratch; DMA scratch -> HBM outputs on
+    the final grid step. Scratch is single-buffered (unlike pipeline outputs),
+    which is what keeps this within the ~16 MB VMEM budget."""
+    first = pl.program_id(0) == 0
+    last = pl.program_id(0) == pl.num_programs(0) - 1
+
+    @pl.when(first)
+    def _init():
+        dw_in_acc[:] = jnp.zeros_like(dw_in_acc)
+        db_in_acc[:] = jnp.zeros_like(db_in_acc)
+        dw_h_acc[:] = jnp.zeros_like(dw_h_acc)
+        db_h_acc[:] = jnp.zeros_like(db_h_acc)
+        dw_out_acc[:] = jnp.zeros_like(dw_out_acc)
+        db_out_acc[:] = jnp.zeros_like(db_out_acc)
+
+    pts = pts_ref[:]
+    u = jnp.dot(pts, k_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    enc = jnp.concatenate([pts, fast_sin(u), fast_cos(u)], axis=-1)
+
+    pre = []
+    z = _mm(enc, w_in_ref[:]) + b_in_ref[:]
+    pre.append(z.astype(jnp.bfloat16))
+    h = fast_sin(z)
+    for i in range(dims.n_hidden):
+        z = _mm(h, w_h_ref[i]) + b_h_ref[i]
+        pre.append(z.astype(jnp.bfloat16))
+        h = fast_sin(z)
+
+    dy = dy_ref[:]
+    dw_out_acc[:] += _mm_t(h, dy, 0, 0)
+    db_out_acc[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dh = _mm_t(dy, w_out_ref[:], 1, 1)
+
+    for i in range(dims.n_hidden - 1, -1, -1):
+        dz = dh * fast_cos(pre[i + 1].astype(jnp.float32))
+        h_prev = fast_sin(pre[i].astype(jnp.float32))
+        dw_h_acc[i] += _mm_t(h_prev, dz, 0, 0)
+        db_h_acc[i] += jnp.sum(dz, axis=0)
+        dh = _mm_t(dz, w_h_ref[i], 1, 1)
+
+    dz = dh * fast_cos(pre[0].astype(jnp.float32))
+    dw_in_acc[:] += _mm_t(enc, dz, 0, 0)
+    db_in_acc[:] += jnp.sum(dz, axis=0, keepdims=True)
+    denc = _mm_t(dz, w_in_ref[:], 1, 1)
+
+    # posenc backward: dx = denc_x + (cos(u)*dsin - sin(u)*dcos) @ K^T
+    D = dims.d_input
+    d_freq = dims.n_freqs * D
+    du = (fast_cos(u) * denc[:, D:D + d_freq]
+          - fast_sin(u) * denc[:, D + d_freq:])
+    dpts_ref[:] = denc[:, :D] + jnp.dot(
+        du, k_ref[:].T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(last)
+    def _flush():
+        for idx, (acc, hbm) in enumerate((
+                (dw_in_acc, dw_in_hbm), (db_in_acc, db_in_hbm),
+                (dw_h_acc, dw_h_hbm), (db_h_acc, db_h_hbm),
+                (dw_out_acc, dw_out_hbm), (db_out_acc, db_out_hbm))):
+            copy = pltpu.make_async_copy(acc, hbm, copy_sems.at[idx])
+            copy.start()
+            copy.wait()
+
+
+def _fused_mlp_bwd(dims, tile, bwd_tile, interpret, residuals, g):
+    params, points = residuals
+    n = points.shape[0]
+    n_pad = _round_up(max(n, bwd_tile), bwd_tile)
+    pts = _pad_rows(points, n_pad)
+    gy = _pad_rows(g, n_pad)  # zero-padded rows contribute zero grads
+    k_mat, w_in, b_in, w_h, b_h, w_out, _b_out = _prep(params, dims)
+    d_freq = dims.n_freqs * dims.d_input
+
+    const = lambda *_: (0, 0)
+    const3 = lambda *_: (0, 0, 0)
+    f = jnp.float32
+    D, E, H, O, L = (dims.d_input, dims.d_enc, dims.d_filter, dims.d_output,
+                     dims.n_hidden)
+    grad_shapes = ((E, H), (1, H), (L, H, H), (L, H), (H, O), (1, O))
+    out_shapes = ([jax.ShapeDtypeStruct((n_pad, D), f)]
+                  + [jax.ShapeDtypeStruct(s, f) for s in grad_shapes])
+    out_specs = ([pl.BlockSpec((bwd_tile, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, dims=dims),
+        grid=(n_pad // bwd_tile,),
+        in_specs=[
+            pl.BlockSpec((bwd_tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bwd_tile, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, d_freq), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, O), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM(s, f) for s in grad_shapes]
+        + [pltpu.SemaphoreType.DMA((6,))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(pts, gy, k_mat, w_in, w_h, w_out, b_in, b_h)
+
+    dpts, dw_in, db_in, dw_h, db_h, dw_out, db_out = outs
+    dparams = {
+        'w_in': dw_in, 'b_in': db_in.reshape(-1),
+        'w_h': dw_h, 'b_h': db_h,
+        'w_out': dw_out, 'b_out': db_out.reshape(-1),
+    }
+    for k, v in params.items():
+        if k not in dparams:
+            dparams[k] = jnp.zeros_like(v)
+    return dparams, dpts[:n]
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
+                   tile: int = 1024, bwd_tile: int = 128,
+                   interpret: bool | None = None) -> jnp.ndarray:
+    """Evaluate the SuNeRF MLP via the fused kernel. Returns raw [N, d_output]
+    (base offsets NOT applied — the caller adds them, matching nerf_apply).
+
+    interpret=None auto-selects: real kernel on TPU, interpreter elsewhere.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    dims = _dims_from_config(config)
+    mlp_params = {k: params[k] for k in
+                  ('w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out')}
+    return _fused_mlp(dims, tile, bwd_tile, interpret, mlp_params, points)

@@ -13,7 +13,19 @@ from typing import Optional
 import jax
 
 from sunerf_tpu.models.fields import (NeRFConfig, density_temperature_config,
-                                      emission_config, init_nerf, nerf_apply)
+                                      emission_config, init_nerf, nerf_apply,
+                                      nerf_apply_fused)
+
+
+def _select_apply(config: NeRFConfig, use_fused: Optional[bool]):
+    """Pick the field evaluation path: the fused Pallas kernel on TPU (6x the
+    forward, ~3x fwd+bwd vs XLA), the pure-JAX path elsewhere. use_fused
+    overrides the auto-detection."""
+    if use_fused is None:
+        use_fused = jax.default_backend() == 'tpu'
+    if use_fused:
+        return functools.partial(nerf_apply_fused, config)
+    return functools.partial(nerf_apply, config)
 from sunerf_tpu.models.simple_star import (SimpleStarConfig, init_simple_star,
                                            simple_star_apply)
 from sunerf_tpu.ops.tresp import TemperatureResponse, load_aia_response
@@ -25,12 +37,13 @@ from sunerf_tpu.rendering.thomson import ThomsonHead
 
 def make_emission_system(Rs_per_ds: float = 1.0,
                          model_config: Optional[NeRFConfig] = None,
+                         use_fused: Optional[bool] = None,
                          **render_kwargs):
     """Emission SuNeRF: NeRF field + emission/absorption quadrature
     (reference EmissionSuNeRFModule, sunerf.py:77-149)."""
     config = model_config or emission_config()
     head = EmissionHead(Rs_per_ds=Rs_per_ds)
-    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+    renderer = Renderer(field_apply=_select_apply(config, use_fused),
                         head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
 
     def init(key: jax.Array) -> dict:
@@ -44,6 +57,7 @@ def make_density_temperature_system(Rs_per_ds: float = 1.0,
                                     model_config: Optional[NeRFConfig] = None,
                                     response: Optional[TemperatureResponse] = None,
                                     pixel_intensity_factor: float = 1e17,
+                                    use_fused: Optional[bool] = None,
                                     **render_kwargs):
     """DT SuNeRF: NeRF_DT field + multi-channel AIA synthesis
     (reference DensityTemperatureSuNeRFModule, sunerf.py:152-224; default
@@ -53,7 +67,7 @@ def make_density_temperature_system(Rs_per_ds: float = 1.0,
     head = DensityTemperatureHead(response=response,
                                   pixel_intensity_factor=pixel_intensity_factor,
                                   Rs_per_ds=Rs_per_ds)
-    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+    renderer = Renderer(field_apply=_select_apply(config, use_fused),
                         head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
 
     def init(key: jax.Array) -> dict:
@@ -88,12 +102,13 @@ def make_simple_star_renderer(Rs_per_ds: float = 1.0,
 
 def make_thomson_system(Rs_per_ds: float = 1.0,
                         model_config: Optional[NeRFConfig] = None,
+                        use_fused: Optional[bool] = None,
                         **render_kwargs):
     """White-light Thomson-scattering SuNeRF (reference rendering/thompson.py,
     orphaned there; first-class here)."""
     config = model_config or emission_config()
     head = ThomsonHead(Rs_per_ds=Rs_per_ds)
-    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+    renderer = Renderer(field_apply=_select_apply(config, use_fused),
                         head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
 
     def init(key: jax.Array) -> dict:

@@ -14,8 +14,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
 
-from sunerf_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from sunerf_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
 from sunerf_tpu.rendering.renderer import Renderer
 from sunerf_tpu.train.objective import LossConfig, render_loss
 
@@ -54,15 +55,37 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
                            wavelengths=batch.get('wavelength'))
         return render_loss(loss_config, outputs, batch['target_image'])
 
+    if mesh is None:
+        def step_fn(state: TrainState, batch: dict, key: jax.Array):
+            key = jax.random.fold_in(key, state.step)
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, batch, key)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    # Mesh path: shard_map, not bare GSPMD — the fused Pallas field kernel is a
+    # custom call GSPMD cannot partition; shard_map runs it per-shard and the
+    # gradient all-reduce is an explicit psum-mean over ICI.
+    def grad_shard(params, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params, batch, key)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        return grads, metrics
+
+    sharded_grad = jax.shard_map(
+        grad_shard, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P()))
+
     def step_fn(state: TrainState, batch: dict, key: jax.Array):
         key = jax.random.fold_in(key, state.step)
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, batch, key)
+        grads, metrics = sharded_grad(state.params, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
-
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
@@ -86,6 +109,9 @@ def make_eval_step(renderer: Renderer, mesh=None):
 
     if mesh is None:
         return jax.jit(eval_fn)
+    sharded = jax.shard_map(eval_fn, mesh=mesh,
+                            in_specs=(P(), P(DATA_AXIS)),
+                            out_specs=P(DATA_AXIS))
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
-    return jax.jit(eval_fn, in_shardings=(repl, data), out_shardings=data)
+    return jax.jit(sharded, in_shardings=(repl, data), out_shardings=data)

@@ -1,0 +1,83 @@
+"""Fused Pallas MLP kernel vs the pure-JAX reference path (interpret mode on
+CPU; the real kernel is exercised on TPU by bench.py and __graft_entry__)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sunerf_tpu.models.fields import (density_temperature_config,
+                                      emission_config, init_nerf, nerf_apply,
+                                      nerf_apply_fused)
+from sunerf_tpu.ops.pallas.fused_mlp import fast_cos, fast_sin
+
+TINY = dict(n_layers=3, d_filter=64, n_freqs=4)
+
+
+def test_fast_sin_accuracy():
+    x = jnp.linspace(-100.0, 100.0, 20001)
+    err = float(jnp.max(jnp.abs(fast_sin(x) - jnp.sin(x))))
+    assert err < 5e-5, err
+    err_c = float(jnp.max(jnp.abs(fast_cos(x) - jnp.cos(x))))
+    assert err_c < 5e-5, err_c
+
+
+def test_fused_forward_matches_reference():
+    config = emission_config(**TINY)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.normal(jax.random.key(1), (50, 4))
+    ref = nerf_apply(config, params, pts).raw
+    fused = nerf_apply_fused(config, params, pts, tile=16, bwd_tile=16,
+                             interpret=True).raw
+    # bf16 matmuls: ~0.5% relative agreement expected
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(ref - fused))) < 0.01 * scale + 1e-4
+
+
+def test_fused_gradients_match_reference():
+    config = emission_config(**TINY)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.normal(jax.random.key(1), (40, 4))
+
+    g_ref = jax.grad(lambda p: jnp.mean(nerf_apply(config, p, pts).raw ** 2))(params)
+    g_fused = jax.grad(lambda p: jnp.mean(
+        nerf_apply_fused(config, p, pts, tile=16, bwd_tile=16,
+                         interpret=True).raw ** 2))(params)
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_fused[k])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
+        assert rel < 0.03, f'{k}: {rel}'
+
+
+def test_fused_point_gradients():
+    config = emission_config(**TINY)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.normal(jax.random.key(1), (24, 4))
+    gp_ref = jax.grad(lambda x: jnp.mean(nerf_apply(config, params, x).raw ** 2))(pts)
+    gp_fused = jax.grad(lambda x: jnp.mean(
+        nerf_apply_fused(config, params, x, tile=8, bwd_tile=8,
+                         interpret=True).raw ** 2))(pts)
+    rel = float(jnp.max(jnp.abs(gp_ref - gp_fused)) / (jnp.max(jnp.abs(gp_ref)) + 1e-12))
+    assert rel < 0.05, rel
+
+
+def test_fused_handles_non_tile_multiple():
+    config = emission_config(**TINY)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.normal(jax.random.key(1), (37, 4))  # not a tile multiple
+    out = nerf_apply_fused(config, params, pts, tile=16, bwd_tile=16,
+                           interpret=True).raw
+    assert out.shape == (37, 2)
+    ref = nerf_apply(config, params, pts).raw
+    assert float(jnp.max(jnp.abs(out - ref))) < 0.01 * float(jnp.max(jnp.abs(ref))) + 1e-4
+
+
+def test_fused_dt_config_aux_passthrough():
+    config = density_temperature_config(**TINY)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.normal(jax.random.key(1), (16, 4))
+    out = nerf_apply_fused(config, params, pts, tile=16, bwd_tile=16,
+                           interpret=True)
+    assert out.log_abs is not None and out.vol_c is not None
+    # base offsets applied
+    ref = nerf_apply(config, params, pts)
+    assert float(jnp.max(jnp.abs(out.raw - ref.raw))) < 0.05
