@@ -1,0 +1,152 @@
+"""Synthetic-observation generator: render EUV filtergrams from an analytic
+(SimpleStar) or simulation (MHD) field through the DT radiative-transfer head
+and write JPEG/FITS frames — this is how SimpleStar training sets are
+manufactured (reference evaluation/image_render.py:20-297 with
+config/render_mhd.yaml).
+
+Usage:
+  python -m sunerf_tpu.evaluation.image_render --config config/render.yaml
+
+Config keys (matching the reference layout, image_render.py:206-232):
+  model: SimpleStar | MHDModel
+  data_path: (MHD only) directory with rho/ and t/ HDF5 cubes
+  render_path: output directory
+  render_format: [jpeg, fits]
+  batch_size: rays per device batch
+  resolution: image size
+  wavelengths: channels to render
+  observers: list of {lat, lon, distance, time} (degrees / solar radii /
+    ISO datetime or float) — replaces the reference's observer FITS dirs
+    when no reference observations exist.
+  observer_dirs: optional list of FITS directories to copy observer geometry
+    from (the reference's observer_dir + load_observer_meta path).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from datetime import datetime
+
+import numpy as np
+import yaml
+
+from sunerf_tpu.data.fits import read_fits, write_fits
+from sunerf_tpu.data.wcs import observer_header, parse_observer
+from sunerf_tpu.evaluation.loader import ModelLoader
+from sunerf_tpu.models.fields import AIA_WAVELENGTHS
+
+
+def build_model_renderer(config: dict):
+    name = config.get('model', 'SimpleStar')
+    # PyYAML parses '1.0e9' (no sign) as a string — coerce numerics defensively
+    pif = float(config.get('pixel_intensity_factor', 1e10))
+    if name == 'SimpleStar':
+        from sunerf_tpu.systems import make_simple_star_renderer
+        renderer, init = make_simple_star_renderer(
+            pixel_intensity_factor=pif, perturb=False)
+        params = init()
+        if config.get('zero_absorption', True):
+            # the reference SimpleStar log_abs table renders black frames
+            # (kappa = rho * 20 is fully opaque); default to transparent corona
+            import jax.numpy as jnp
+            params['coarse']['log_abs'] = jnp.zeros(7)
+        return renderer, params
+    if name == 'MHDModel':
+        from sunerf_tpu.models.mhd_field import MHDFieldLoader
+        from sunerf_tpu.systems import make_mhd_renderer
+        loader = MHDFieldLoader(config['data_path'])
+        return make_mhd_renderer(loader, pixel_intensity_factor=pif)
+    raise ValueError(f'unknown model {name!r}')
+
+
+def observers_from_config(config: dict) -> list[dict]:
+    if 'observers' in config:
+        obs = []
+        for o in config['observers']:
+            t = o.get('time', 0.0)
+            if isinstance(t, str):
+                t = datetime.fromisoformat(t)
+            obs.append({'lat': float(o['lat']), 'lon': float(o['lon']),
+                        'distance': float(o.get('distance', 215.0)),
+                        'time': t, 'name': o.get('name', 'obs')})
+        return obs
+    observers = []
+    for name, d in zip(config.get('observer_names', []),
+                       config.get('observer_dir', [])):
+        for f in sorted(glob.glob(os.path.join(d, '*.fits'))):
+            _, header = read_fits(f)
+            o = parse_observer(header)
+            observers.append({'lat': np.rad2deg(o.carrington_lat),
+                              'lon': np.rad2deg(o.carrington_lon),
+                              'distance': o.dsun_rs, 'time': o.time,
+                              'name': name})
+    return observers
+
+
+def frame_to_jpeg(path: str, image: np.ndarray):
+    """Log-normalized JPEG (reference frame_to_jpeg, image_render.py:38-91)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    img = np.asarray(image, np.float64)
+    img = np.arcsinh(img / (0.005 * (img.max() or 1.0)))
+    img = img / (img.max() or 1.0)
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def render_observers(config: dict):
+    renderer, params = build_model_renderer(config)
+    resolution = config.get('resolution', 256)
+    wavelengths = config.get('wavelengths', list(AIA_WAVELENGTHS))
+    render_path = config['render_path']
+    formats = config.get('render_format', ['jpeg'])
+    overwrite = config.get('overwrite', True)
+
+    ref_times = [o['time'] for o in observers_from_config(config)
+                 if isinstance(o['time'], datetime)]
+    loader = ModelLoader(renderer, params,
+                         ref_time=min(ref_times) if ref_times else None,
+                         seconds_per_dt=config.get('seconds_per_dt', 86400.0),
+                         batch_size=config.get('batch_size', 4096))
+
+    outputs = []
+    for obs in observers_from_config(config):
+        view = loader.render_observer_image(
+            lat=np.deg2rad(obs['lat']), lon=np.deg2rad(obs['lon']),
+            time=obs['time'], distance=obs['distance'],
+            resolution=resolution, wavelengths=wavelengths)
+        tstr = obs['time'].strftime('%Y-%m-%dT%H%M%S') \
+            if isinstance(obs['time'], datetime) else f"t{obs['time']:g}"
+        for c, wl in enumerate(wavelengths):
+            out_dir = os.path.join(render_path, obs['name'], str(int(wl)))
+            os.makedirs(out_dir, exist_ok=True)
+            base = os.path.join(out_dir, f"{obs['name']}.{tstr}.{int(wl)}")
+            if 'fits' in formats:
+                header = observer_header(
+                    obs['lat'], obs['lon'], obs['distance'],
+                    obs['time'] if isinstance(obs['time'], datetime)
+                    else datetime(2000, 1, 1), resolution, float(wl))
+                if overwrite or not os.path.exists(base + '.fits'):
+                    write_fits(base + '.fits', view.image[:, :, c], header)
+            if 'jpeg' in formats:
+                frame_to_jpeg(base + '.jpg', view.image[:, :, c])
+            outputs.append(base)
+    return outputs
+
+
+def main(argv=None):
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--config', type=str, required=True)
+    args = parser.parse_args(argv)
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+    outputs = render_observers(config)
+    print(f'rendered {len(outputs)} frames -> {config["render_path"]}')
+
+
+if __name__ == '__main__':
+    main()

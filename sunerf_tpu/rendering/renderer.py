@@ -38,6 +38,8 @@ class Renderer:
     sampling: str = 'stratified'  # 'stratified' | 'spherical'
     perturb: bool = True
     perturb_hierarchical: bool = False
+    # serializable description for checkpoint reconstruction (systems.from_spec)
+    spec: Optional[dict] = None
 
     @property
     def solar_radius(self) -> float:

@@ -35,6 +35,16 @@ from sunerf_tpu.rendering.renderer import Renderer
 from sunerf_tpu.rendering.thomson import ThomsonHead
 
 
+def _spec(head_name: str, config, Rs_per_ds, render_kwargs, **extra) -> dict:
+    import dataclasses
+    spec = {'head': head_name, 'Rs_per_ds': Rs_per_ds,
+            'render': dict(render_kwargs)}
+    if config is not None:
+        spec['model_config'] = dataclasses.asdict(config)
+    spec.update(extra)
+    return spec
+
+
 def make_emission_system(Rs_per_ds: float = 1.0,
                          model_config: Optional[NeRFConfig] = None,
                          use_fused: Optional[bool] = None,
@@ -44,7 +54,9 @@ def make_emission_system(Rs_per_ds: float = 1.0,
     config = model_config or emission_config()
     head = EmissionHead(Rs_per_ds=Rs_per_ds)
     renderer = Renderer(field_apply=_select_apply(config, use_fused),
-                        head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
+                        head=head, Rs_per_ds=Rs_per_ds,
+                        spec=_spec('emission', config, Rs_per_ds, render_kwargs),
+                        **render_kwargs)
 
     def init(key: jax.Array) -> dict:
         k1, k2 = jax.random.split(key)
@@ -68,7 +80,11 @@ def make_density_temperature_system(Rs_per_ds: float = 1.0,
                                   pixel_intensity_factor=pixel_intensity_factor,
                                   Rs_per_ds=Rs_per_ds)
     renderer = Renderer(field_apply=_select_apply(config, use_fused),
-                        head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
+                        head=head, Rs_per_ds=Rs_per_ds,
+                        spec=_spec('density_temperature', config, Rs_per_ds,
+                                   render_kwargs,
+                                   pixel_intensity_factor=pixel_intensity_factor),
+                        **render_kwargs)
 
     def init(key: jax.Array) -> dict:
         k1, k2 = jax.random.split(key)
@@ -91,7 +107,10 @@ def make_simple_star_renderer(Rs_per_ds: float = 1.0,
                                   pixel_intensity_factor=pixel_intensity_factor,
                                   Rs_per_ds=Rs_per_ds)
     renderer = Renderer(field_apply=functools.partial(simple_star_apply, star_config),
-                        head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
+                        head=head, Rs_per_ds=Rs_per_ds,
+                        spec=_spec('simple_star', None, Rs_per_ds, render_kwargs,
+                                   pixel_intensity_factor=pixel_intensity_factor),
+                        **render_kwargs)
 
     def init(_key: jax.Array = None) -> dict:
         p = init_simple_star(star_config)
@@ -109,10 +128,66 @@ def make_thomson_system(Rs_per_ds: float = 1.0,
     config = model_config or emission_config()
     head = ThomsonHead(Rs_per_ds=Rs_per_ds)
     renderer = Renderer(field_apply=_select_apply(config, use_fused),
-                        head=head, Rs_per_ds=Rs_per_ds, **render_kwargs)
+                        head=head, Rs_per_ds=Rs_per_ds,
+                        spec=_spec('thomson', config, Rs_per_ds, render_kwargs),
+                        **render_kwargs)
 
     def init(key: jax.Array) -> dict:
         k1, k2 = jax.random.split(key)
         return {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
 
     return renderer, init
+
+
+def make_mhd_renderer(loader, Rs_per_ds: float = 1.0,
+                      response: Optional[TemperatureResponse] = None,
+                      pixel_intensity_factor: float = 1e10,
+                      **render_kwargs):
+    """PSI MHD simulation rendered through the DT head (reference
+    image_render.py:235-259 with MHDModel). Returns (renderer, params) — the
+    cube data lives inside the field closure, only log_abs/vol_c are params."""
+    import functools as _ft
+
+    from sunerf_tpu.models.mhd_field import mhd_apply
+
+    response = response or load_aia_response()
+    head = DensityTemperatureHead(response=response,
+                                  pixel_intensity_factor=pixel_intensity_factor,
+                                  Rs_per_ds=Rs_per_ds)
+    renderer = Renderer(field_apply=_ft.partial(mhd_apply, loader.field),
+                        head=head, Rs_per_ds=Rs_per_ds,
+                        spec=_spec('mhd', None, Rs_per_ds, render_kwargs,
+                                   pixel_intensity_factor=pixel_intensity_factor,
+                                   data_path=getattr(loader, 'data_path', None)),
+                        **render_kwargs)
+    p = loader.init_params()
+    return renderer, {'coarse': p, 'fine': p}
+
+
+def from_spec(spec: dict, use_fused: Optional[bool] = None):
+    """Rebuild a (renderer, init) pair from a serialized spec — the checkpoint
+    reconstruction path used by the evaluation loader (no pickled code, unlike
+    the reference's torch.load of a live module, evaluation/loader.py:23-35)."""
+    head = spec['head']
+    kwargs = dict(spec.get('render', {}))
+    mc = spec.get('model_config')
+    config = NeRFConfig(**mc) if mc else None
+    if head == 'emission':
+        return make_emission_system(Rs_per_ds=spec['Rs_per_ds'],
+                                    model_config=config, use_fused=use_fused,
+                                    **kwargs)
+    if head == 'density_temperature':
+        return make_density_temperature_system(
+            Rs_per_ds=spec['Rs_per_ds'], model_config=config,
+            pixel_intensity_factor=spec.get('pixel_intensity_factor', 1e17),
+            use_fused=use_fused, **kwargs)
+    if head == 'simple_star':
+        return make_simple_star_renderer(
+            Rs_per_ds=spec['Rs_per_ds'],
+            pixel_intensity_factor=spec.get('pixel_intensity_factor', 1e10),
+            **kwargs)
+    if head == 'thomson':
+        return make_thomson_system(Rs_per_ds=spec['Rs_per_ds'],
+                                   model_config=config, use_fused=use_fused,
+                                   **kwargs)
+    raise ValueError(f'unknown head {head!r}')

@@ -1,0 +1,102 @@
+"""Checkpointing: orbax training checkpoints (resume) + a portable deployment
+bundle (.snf.npz, the reference's save_state.snf successor).
+
+The reference pickles the entire live rendering nn.Module (sunerf.py:62-74)
+— unreproducible across code versions. Here the two artifacts are:
+  * train checkpoint: orbax tree {params, opt_state, step} under
+    <workdir>/checkpoints/step_N (+ 'last' convention via highest step);
+  * deployment bundle: flat npz of parameters + a JSON sidecar carrying the
+    renderer/data config — no pickled code, loadable anywhere.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from sunerf_tpu.train.step import TrainState
+
+
+# ----------------------------------------------------------- train ckpt
+
+def _ckpt_dir(workdir: str) -> str:
+    return os.path.join(os.path.abspath(workdir), 'checkpoints')
+
+
+def save_train_checkpoint(workdir: str, state: TrainState) -> str:
+    path = os.path.join(_ckpt_dir(workdir), f'step_{int(state.step):08d}')
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(workdir: str) -> str | None:
+    d = _ckpt_dir(workdir)
+    if not os.path.isdir(d):
+        return None
+    steps = [(int(m.group(1)), f) for f in os.listdir(d)
+             if (m := re.fullmatch(r'step_(\d+)', f))]
+    if not steps:
+        return None
+    return os.path.join(d, max(steps)[1])
+
+
+def restore_train_checkpoint(workdir: str, target: TrainState) -> TrainState | None:
+    """Restore the newest checkpoint into the structure of `target`
+    (resume-from-last, reference run_emission.py:38,75)."""
+    path = latest_checkpoint(workdir)
+    if path is None:
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, target=jax.tree.map(np.asarray, target))
+    return jax.tree.map(lambda t, r: jax.numpy.asarray(r, t.dtype) if hasattr(t, 'dtype') else r,
+                        target, restored)
+
+
+# ----------------------------------------------------------- deployment
+
+def _flatten(tree, prefix=''):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f'{prefix}{k}/'))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    tree = {}
+    for key, value in flat.items():
+        parts = key.split('/')
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_state(path: str, params: dict, config: dict):
+    """Write the deployment bundle: <path>.npz (flat params) + <path>.json
+    (render/data config). Equivalent role to the reference's save_state.snf
+    (consumed by SuNeRFLoader, evaluation/loader.py:23)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    base = path[:-4] if path.endswith('.npz') else path
+    np.savez(base + '.npz', **_flatten(params))
+    with open(base + '.json', 'w') as f:
+        json.dump(config, f, indent=2, default=str)
+
+
+def load_state(path: str) -> tuple[dict, dict]:
+    """Read a deployment bundle -> (params pytree, config dict)."""
+    base = path[:-4] if path.endswith('.npz') else path
+    with np.load(base + '.npz') as f:
+        params = _unflatten({k: f[k] for k in f.files})
+    with open(base + '.json') as f:
+        config = json.load(f)
+    return params, config

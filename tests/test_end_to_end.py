@@ -1,0 +1,198 @@
+"""End-to-end closed loop (SURVEY §7 milestone): synthesize a multi-viewpoint
+training set from the analytic SimpleStar through the DT renderer, train an
+emission NeRF on it, verify the loss drops and the trained model re-renders
+views — plus MHD field and evaluation-loader integration."""
+import os
+from datetime import datetime
+
+import jax
+import numpy as np
+import pytest
+
+from sunerf_tpu.evaluation.image_render import render_observers
+from sunerf_tpu.evaluation.loader import SuNeRFLoader
+
+
+def _render_config(tmp_path, n_views=8, resolution=16):
+    observers = [{'name': 'aia', 'lat': 5.0 * ((i % 3) - 1), 'lon': i * 45.0,
+                  'distance': 215.0,
+                  'time': datetime(2012, 8, 20 + i).isoformat()}
+                 for i in range(n_views)]
+    return {
+        'model': 'SimpleStar',
+        'render_path': str(tmp_path / 'renders'),
+        'render_format': ['fits', 'jpeg'],
+        'resolution': resolution,
+        'wavelengths': [193],
+        'batch_size': 256,
+        'pixel_intensity_factor': 1e9,  # images O(1) after the rho^2 integral
+        'observers': observers,
+    }
+
+
+@pytest.fixture(scope='module')
+def rendered_views(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp('closed_loop')
+    config = _render_config(tmp_path)
+    outputs = render_observers(config)
+    return tmp_path, config, outputs
+
+
+def test_render_produces_views(rendered_views):
+    tmp_path, config, outputs = rendered_views
+    assert len(outputs) == 8
+    fits_files = sorted((tmp_path / 'renders' / 'aia' / '193').glob('*.fits'))
+    assert len(fits_files) == 8
+    from sunerf_tpu.data.fits import read_fits
+    data, header = read_fits(str(fits_files[0]))
+    assert data.shape == (16, 16)
+    assert header['WAVELNTH'] == 193
+    assert np.all(np.isfinite(data)) and data.max() > 0
+    # the disk is brighter than the corners
+    assert data[6:10, 6:10].mean() > data[:2, :2].mean()
+
+
+def test_closed_loop_training_and_reload(rendered_views, tmp_path):
+    tmp_path_renders, config, _ = rendered_views
+
+    from sunerf_tpu.data.loaders import build_single_channel_data
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig
+
+    data = build_single_channel_data(
+        str(tmp_path_renders / 'renders' / 'aia' / '193' / '*.fits'),
+        str(tmp_path / 'work'), batch_size=128)
+    assert len(data.train) >= 10
+
+    renderer, init = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32),
+        n_stratified=8, n_hierarchical=8)
+    workdir = str(tmp_path / 'run')
+    trainer = Trainer(
+        renderer, init, data,
+        loss_config=LossConfig(lambda_regularization=0.1,
+                               scaling_vmax=10.0),
+        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+        trainer_config=TrainerConfig(total_steps=40, val_every=20,
+                                     checkpoint_every=20, log_every=10,
+                                     save_val_images=False),
+        workdir=workdir)
+    trainer.fit()
+
+    # metrics were logged and loss decreased
+    import json
+    with open(os.path.join(workdir, 'metrics.jsonl')) as f:
+        recs = [json.loads(line) for line in f]
+    losses = [r['loss'] for r in recs if 'loss' in r]
+    assert len(losses) >= 3
+    assert losses[-1] < losses[0], f'loss did not drop: {losses}'
+    val = [r for r in recs if 'val_psnr' in r]
+    assert val, 'validation never ran'
+
+    # resume path: a new Trainer picks up the checkpoint at step 40
+    trainer2 = Trainer(
+        renderer, init, data,
+        loss_config=LossConfig(scaling_vmax=10.0),
+        trainer_config=TrainerConfig(total_steps=40, save_val_images=False),
+        workdir=workdir)
+    assert int(trainer2.state.step) == 40
+
+    # deployment bundle reloads and renders a novel view
+    loader = SuNeRFLoader(os.path.join(workdir, 'save_state'), batch_size=256)
+    assert loader.config['type'] == 'emission'
+    view = loader.render_observer_image(lat=0.3, lon=1.0, time=0.0,
+                                        distance=215.0, resolution=8)
+    assert view.image.shape == (8, 8, 1)
+    assert np.all(np.isfinite(view.image))
+    assert view.height_map.shape == (8, 8)
+
+    # direct field query (volume extraction path)
+    raw = loader.load_coords(np.zeros((5, 4), np.float32))
+    assert raw.shape == (5, 2)
+
+
+def test_mhd_field_roundtrip(tmp_path):
+    """Synthetic PSI cubes -> MHDFieldLoader -> interpolation matches the
+    analytic profile the cubes were built from."""
+    from sunerf_tpu.data.psi_io import rdhdf_3d, wrhdf_3d
+    from sunerf_tpu.models.mhd_field import MHDFieldLoader, mhd_apply
+
+    r = np.linspace(1.0, 3.0, 20)
+    th = np.linspace(0.0, np.pi, 16)
+    phi = np.linspace(0.0, 2 * np.pi, 24)
+    # rho(r) = 100 / r^2, T(r) = 1.5 + 0.1*frame (cube axes [phi, th, r])
+    for var, make in (('rho', lambda f: 100.0 / r[None, None, :] ** 2
+                       + np.zeros((24, 16, 1))),
+                      ('t', lambda f: np.full((24, 16, 20), 1.5 + 0.1 * f))):
+        d = tmp_path / var
+        d.mkdir()
+        for f in range(2):
+            wrhdf_3d(str(d / f'{var}00{2531 + f}.h5'), r, th, phi, make(f))
+
+    # IO round-trip
+    rr, tt, pp, data = rdhdf_3d(str(tmp_path / 'rho' / 'rho002531.h5'))
+    np.testing.assert_allclose(rr, r)
+    assert data.shape == (24, 16, 20)
+
+    loader = MHDFieldLoader(str(tmp_path))
+    assert loader.ffirst == 2531 and loader.flast == 2532
+    params = loader.init_params()
+
+    import jax.numpy as jnp
+    pts = jnp.asarray([[2.0, 0.0, 0.0, 0.0],    # r=2, frame 0
+                       [1.5, 0.0, 0.0, 1.0],    # r=1.5, frame 1
+                       [10.0, 0.0, 0.0, 0.0]])  # outside the cube
+    out = mhd_apply(loader.field, params, pts)
+    raw = np.asarray(out.raw)
+    np.testing.assert_allclose(raw[0, 0], np.log(100 / 4), rtol=1e-3)
+    np.testing.assert_allclose(raw[1, 0], np.log(100 / 2.25), rtol=1e-3)
+    # temperature channel: log10(1e6 * T)
+    np.testing.assert_allclose(raw[0, 1], np.log10(1e6 * 1.5), rtol=1e-3)
+    np.testing.assert_allclose(raw[1, 1], np.log10(1e6 * 1.6), rtol=1e-3)
+    # outside: fill value
+    np.testing.assert_allclose(raw[2, 0], np.log(1e-10), rtol=1e-3)
+
+
+def test_mhd_renderer(tmp_path):
+    from sunerf_tpu.data.psi_io import wrhdf_3d
+    from sunerf_tpu.models.mhd_field import MHDFieldLoader
+    from sunerf_tpu.systems import make_mhd_renderer
+
+    r = np.linspace(1.0, 3.0, 10)
+    th = np.linspace(0.0, np.pi, 8)
+    phi = np.linspace(0.0, 2 * np.pi, 12)
+    for var, val in (('rho', 1e4), ('t', 1.5)):
+        d = tmp_path / var
+        d.mkdir()
+        for f in range(2):
+            wrhdf_3d(str(d / f'{var}00{100 + f}.h5'), r, th, phi,
+                     np.full((12, 8, 10), val))
+
+    loader = MHDFieldLoader(str(tmp_path))
+    renderer, params = make_mhd_renderer(loader, n_stratified=8,
+                                         n_hierarchical=8, perturb=False)
+    import jax.numpy as jnp
+    params['coarse']['log_abs'] = jnp.zeros(7)
+    from sunerf_tpu.core.geometry import observer_rays
+    rays_o, rays_d = observer_rays(0.0, 0.0, 215.0, 4)
+    out = renderer(params, jnp.asarray(rays_o.reshape(-1, 3)),
+                   jnp.asarray(rays_d.reshape(-1, 3)),
+                   jnp.zeros((16, 1)),
+                   wavelengths=jnp.broadcast_to(jnp.array([193.0]), (16, 1)))
+    assert np.all(np.isfinite(np.asarray(out['image'])))
+    assert np.asarray(out['image']).max() > 0
+
+
+def test_video_flyby(rendered_views, tmp_path):
+    """Flyby frames from a trained state (uses the closed-loop workdir)."""
+    pytest.importorskip('PIL')
+    from sunerf_tpu.evaluation.video import flyby_poses
+    poses = flyby_poses(12, distance=200.0)
+    assert len(poses) == 12
+    lats = [p[0] for p in poses]
+    dists = [p[2] for p in poses]
+    assert min(dists) < 200.0  # zoom leg
+    assert max(lats) > 0.5     # polar leg
