@@ -1,0 +1,137 @@
+"""Data acquisition CLIs: fetch SDO/AIA, STEREO/EUVI, SolO/EUI FITS files.
+
+Native port of the reference download scripts (sunerf/data/download/:
+sdo_jsoc.py JSOC/drms export, helio_concurrent_aia_stereo.py Fido AIA+EUVI,
+solo_eui.py, synoptic_map.py). These genuinely require the external `drms` /
+`sunpy` packages and network access — both are optional here: each subcommand
+checks for its dependency and explains what to install if missing. The query
+logic itself is complete.
+
+Usage:
+  python -m sunerf_tpu.data.download jsoc  --email you@x --start 2012-08-01 \
+      --end 2012-09-01 --wavelengths 171 193 --cadence 6h --out raw/sdo
+  python -m sunerf_tpu.data.download fido  --start 2012-08-01 --end 2012-09-01 \
+      --wavelength 195 --source STEREO_A --out raw/stereo
+  python -m sunerf_tpu.data.download eui   --start 2022-03-01 --end 2022-03-05 \
+      --out raw/solo
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def download_jsoc(email: str, start: str, end: str, wavelengths, cadence: str,
+                  out_dir: str, series: str = 'aia.lev1_euv_12s'):
+    """JSOC export of AIA EUV level-1 images (reference sdo_jsoc.py:41-115)."""
+    try:
+        import drms
+    except ImportError as e:
+        raise ImportError(
+            'JSOC download requires the `drms` package (pip install drms); '
+            'this TPU image ships without it — run on a data-prep host') from e
+    client = drms.Client(email=email)
+    os.makedirs(out_dir, exist_ok=True)
+    downloaded = []
+    for wl in wavelengths:
+        query = f'{series}[{start}Z-{end}Z@{cadence}][{wl}]{{image}}'
+        result = client.export(query, method='url', protocol='fits')
+        result.wait()
+        wl_dir = os.path.join(out_dir, str(wl))
+        os.makedirs(wl_dir, exist_ok=True)
+        downloaded += list(result.download(wl_dir).download.values)
+    return downloaded
+
+
+def download_fido(start: str, end: str, wavelength: int, source: str,
+                  out_dir: str, sample_hours: float = 6.0):
+    """VSO search+fetch for AIA or SECCHI/EUVI (reference
+    helio_concurrent_aia_stereo.py:59-133)."""
+    try:
+        import astropy.units as u
+        from sunpy.net import Fido, attrs as a
+    except ImportError as e:
+        raise ImportError(
+            'Fido download requires `sunpy[net]`; this TPU image ships '
+            'without it — run on a data-prep host') from e
+    os.makedirs(out_dir, exist_ok=True)
+    query = [a.Time(start, end), a.Wavelength(wavelength * u.AA),
+             a.Sample(sample_hours * u.hour)]
+    if source.upper().startswith('STEREO'):
+        query += [a.Source(source.upper()), a.Instrument('SECCHI'),
+                  a.Detector('EUVI')]
+    else:
+        query += [a.Instrument('AIA')]
+    result = Fido.search(*query)
+    return Fido.fetch(result, path=os.path.join(out_dir, '{file}'))
+
+
+def download_eui(start: str, end: str, out_dir: str,
+                 product: str = 'EUI-FSI174-IMAGE'):
+    """Solar Orbiter EUI FSI fetch (reference solo_eui.py:12-23)."""
+    try:
+        import astropy.units as u  # noqa: F401
+        from sunpy.net import Fido, attrs as a
+    except ImportError as e:
+        raise ImportError(
+            'EUI download requires `sunpy[net]` + `sunpy-soar`; this TPU '
+            'image ships without them — run on a data-prep host') from e
+    os.makedirs(out_dir, exist_ok=True)
+    result = Fido.search(a.Time(start, end), a.Instrument('EUI'),
+                         a.Level(2), a.soar.Product(product))
+    return Fido.fetch(result, path=os.path.join(out_dir, '{file}'))
+
+
+def convert_stereo_to_sdo(files, out_dir: str):
+    """ITI GAN instrument conversion SECCHI -> AIA-like (reference
+    data/euv/convert_stereo_to_sdo.py:52-128; model stereo_to_sdo_v0_2.pt)."""
+    try:
+        from itipy.translate import STEREOToSDO
+    except ImportError as e:
+        raise ImportError(
+            'STEREO->SDO conversion requires the external `itipy` package '
+            '(instrument-to-instrument GAN) — run on a GPU data-prep host') from e
+    os.makedirs(out_dir, exist_ok=True)
+    translator = STEREOToSDO(model_path=None)
+    return list(translator.translate(files, basenames=None))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest='cmd', required=True)
+
+    p = sub.add_parser('jsoc')
+    p.add_argument('--email', required=True)
+    p.add_argument('--start', required=True)
+    p.add_argument('--end', required=True)
+    p.add_argument('--wavelengths', nargs='+', type=int, default=[171, 193])
+    p.add_argument('--cadence', default='6h')
+    p.add_argument('--out', required=True)
+
+    p = sub.add_parser('fido')
+    p.add_argument('--start', required=True)
+    p.add_argument('--end', required=True)
+    p.add_argument('--wavelength', type=int, required=True)
+    p.add_argument('--source', default='AIA')
+    p.add_argument('--out', required=True)
+    p.add_argument('--sample-hours', type=float, default=6.0)
+
+    p = sub.add_parser('eui')
+    p.add_argument('--start', required=True)
+    p.add_argument('--end', required=True)
+    p.add_argument('--out', required=True)
+
+    args = parser.parse_args(argv)
+    if args.cmd == 'jsoc':
+        files = download_jsoc(args.email, args.start, args.end,
+                              args.wavelengths, args.cadence, args.out)
+    elif args.cmd == 'fido':
+        files = download_fido(args.start, args.end, args.wavelength,
+                              args.source, args.out, args.sample_hours)
+    else:
+        files = download_eui(args.start, args.end, args.out)
+    print(f'downloaded {len(files)} files')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,143 @@
+"""Reprojection baseline, metrics harness, and prep CLI tests."""
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from sunerf_tpu.baseline.reprojection import (carrington_to_world,
+                                              create_heliographic_map,
+                                              heliographic_to_observer,
+                                              map_to_heliographic, transform,
+                                              world_to_carrington)
+from sunerf_tpu.data.fits import Header, write_fits
+from sunerf_tpu.data.wcs import observer_header
+
+
+def test_carrington_world_roundtrip():
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-np.pi / 2 + 0.01, np.pi / 2 - 0.01, 50)
+    lon = rng.uniform(0, 2 * np.pi, 50)
+    xyz = carrington_to_world(lat, lon, 1.0)
+    lat2, lon2 = world_to_carrington(xyz)
+    np.testing.assert_allclose(lat2, lat, atol=1e-6)
+    np.testing.assert_allclose(lon2, lon, atol=1e-6)
+
+
+def _disk_map(lat=0.0, lon=0.0, value=1.0, res=64):
+    header = Header()
+    header.update(observer_header(lat, lon, 215.0, datetime(2012, 1, 1),
+                                  res, 193.0))
+    data = np.full((res, res), value, np.float32)
+    return data, header
+
+
+def test_map_to_heliographic_visibility():
+    data, header = _disk_map(lat=0.0, lon=0.0)
+    hmap, weight = map_to_heliographic(data, header, shape_out=(45, 90))
+    # the facing hemisphere (lon near 0) is sampled; the far side is not
+    assert np.isfinite(hmap[22, 0]) or np.isfinite(hmap[22, 1])   # lon ~ 0
+    assert not np.isfinite(hmap[22, 45])                          # lon ~ 180
+    # sampled values match the constant map
+    np.testing.assert_allclose(hmap[np.isfinite(hmap)], 1.0, atol=1e-3)
+    assert weight.sum() > 0
+
+
+def test_transform_roundtrip_constant():
+    """Two observers covering both hemispheres -> any novel view sees ~1."""
+    maps = [_disk_map(lon=0.0), _disk_map(lon=180.0)]
+    out = transform(maps, lat=0.3, lon=1.0, distance=215.0, resolution=32,
+                    shape_out=(45, 90))
+    disk = out[np.isfinite(out)]
+    assert disk.size > 50
+    np.testing.assert_allclose(disk, 1.0, atol=5e-2)
+
+
+def test_heliographic_to_observer_pattern():
+    """A bright band at lon ~ 90 deg shows up only for observers facing it."""
+    hmap = np.zeros((90, 180))
+    hmap[:, 40:50] = 5.0  # lon 80-100 deg
+    facing = heliographic_to_observer(hmap, 0.0, np.deg2rad(90.0), 215.0, 32)
+    away = heliographic_to_observer(hmap, 0.0, np.deg2rad(270.0), 215.0, 32)
+    assert np.nanmax(facing) > 4.0
+    assert np.nanmax(away) < 1e-6
+
+
+def test_prep_psi_lat_cut(tmp_path):
+    from sunerf_tpu.data.prep import prep_file
+    out = str(tmp_path / 'out')
+    # ecliptic frame passes
+    d, h = _disk_map(lat=3.0, res=16)
+    p1 = str(tmp_path / 'e.fits')
+    write_fits(p1, d * 40000, h)
+    assert prep_file(p1, out, 'psi', resolution=8) is not None
+    # high-latitude frame dropped
+    d, h = _disk_map(lat=30.0, res=16)
+    p2 = str(tmp_path / 'hi.fits')
+    write_fits(p2, d, h)
+    assert prep_file(p2, out, 'psi', resolution=8) is None
+    # output is normalized and resampled
+    from sunerf_tpu.data.fits import read_fits
+    data, header = read_fits(os.path.join(out, 'e.fits'))
+    assert data.shape == (8, 8)
+    assert 0 <= data.max() <= 1.0
+    # WCS scale doubled by the 16 -> 8 resample
+    assert header['CDELT1'] == pytest.approx(
+        2 * observer_header(3.0, 0.0, 215.0, datetime(2012, 1, 1), 16, 193.0)['CDELT1'])
+
+
+def test_prep_so_exposure(tmp_path):
+    from sunerf_tpu.data.fits import read_fits
+    from sunerf_tpu.data.prep import prep_file
+    d, h = _disk_map(res=8)
+    h['WAVELNTH'] = 304
+    h['XPOSURE'] = 2.0
+    p = str(tmp_path / 'eui.fits')
+    write_fits(p, d * 600.0, h)
+    out = prep_file(p, str(tmp_path / 'out'), 'so', resolution=None)
+    data, _ = read_fits(out)
+    np.testing.assert_allclose(data, 1.0, rtol=1e-5)  # 600/2/300(vmax)
+
+
+def test_download_cli_gating():
+    """Download commands raise informative ImportErrors without network pkgs."""
+    from sunerf_tpu.data.download import download_fido, download_jsoc
+    with pytest.raises(ImportError, match='drms'):
+        download_jsoc('x@y', '2012-01-01', '2012-01-02', [193], '6h', '/tmp/x')
+    with pytest.raises(ImportError, match='sunpy'):
+        download_fido('2012-01-01', '2012-01-02', 193, 'AIA', '/tmp/x')
+
+
+def test_metrics_harness(tmp_path):
+    """Score a SimpleStar 'model' against its own renders: near-perfect metrics
+    on both splits."""
+    from sunerf_tpu.evaluation.image_render import render_observers
+    config = {
+        'model': 'SimpleStar', 'render_path': str(tmp_path / 'gt'),
+        'render_format': ['fits'], 'resolution': 16, 'wavelengths': [193],
+        'batch_size': 256, 'pixel_intensity_factor': 1e9,
+        'observers': [
+            {'name': 'v', 'lat': 0.0, 'lon': 0.0, 'distance': 215.0,
+             'time': '2012-01-01T00:00:00'},
+            {'name': 'v', 'lat': 20.0, 'lon': 90.0, 'distance': 215.0,
+             'time': '2012-01-01T06:00:00'},
+        ]}
+    render_observers(config)
+
+    import glob
+    from sunerf_tpu.evaluation.image_render import build_model_renderer
+    from sunerf_tpu.evaluation.loader import ModelLoader
+    from sunerf_tpu.evaluation.metrics_harness import evaluate_viewpoints
+
+    renderer, params = build_model_renderer(config)
+    loader = ModelLoader(renderer, params,
+                         ref_time=datetime(2012, 1, 1), batch_size=256)
+    loader.config = {}
+    files = sorted(glob.glob(str(tmp_path / 'gt' / 'v' / '193' / '*.fits')))
+    assert len(files) == 2
+    result = evaluate_viewpoints(loader, files, lat_split_deg=7.0)
+    assert result['n_train'] == 1 and result['n_test'] == 1
+    # deterministic re-render: extremely high PSNR on both splits
+    assert result['train']['psnr'] > 40
+    assert result['test']['psnr'] > 40
+    assert abs(result['all']['me_percent']) < 1.0
