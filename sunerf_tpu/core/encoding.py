@@ -39,3 +39,22 @@ def positional_encoding(x: jnp.ndarray, n_freqs: int = 10,
     batch_shape = x.shape[:-1]
     flat = scaled.reshape(*batch_shape, -1)
     return jnp.concatenate([x, jnp.sin(flat), jnp.cos(flat)], axis=-1)
+
+
+def init_trainable_encoding(d_input: int, n_freqs: int = 20) -> dict:
+    """Learnable frequency bands (reference TrainablePositionalEncoding,
+    model.py:75-89): frequencies initialized linspace(-3, 9) per input dim."""
+    freqs = jnp.stack([jnp.linspace(-3.0, 9.0, n_freqs)
+                       for _ in range(d_input)], axis=-1)  # [F, D]
+    return {'frequencies': freqs}
+
+
+def trainable_encoding_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """[N, D] -> [N, 2*F*D]: sin/cos of pi * 2^f * x, normalized by the
+    frequency (model.py:83-89)."""
+    freqs = jnp.pi * 2.0 ** params['frequencies']       # [F, D]
+    encoded = x[:, None, :] * freqs[None]               # [N, F, D]
+    n = x.shape[0]
+    return jnp.concatenate([
+        (jnp.sin(encoded) / freqs[None]).reshape(n, -1),
+        (jnp.cos(encoded) / freqs[None]).reshape(n, -1)], axis=-1)

@@ -85,19 +85,30 @@ def build_single_channel_data(data_path: str, working_dir: str,
                               batch_size: int = 1024,
                               n_devices: int = 1,
                               debug: bool = False,
+                              n_workers: int | None = None,
                               seed: int = 42) -> RayData:
     """Emission-head pipeline: all pixels of all maps flattened to rays, one
     held-out validation image at index len//6, global shuffle, npy shards.
 
     batch_size is per-chip; the global batch is batch_size * n_devices
-    (reference single_channel.py:67-68 scaled by N_GPUS)."""
+    (reference single_channel.py:67-68 scaled by N_GPUS). n_workers > 1
+    fans FITS loading out over processes (reference base_loader.py:72-74)."""
     files = sorted(glob.glob(data_path))
     if not files:
         raise FileNotFoundError(f'no FITS files match {data_path}')
     if debug:
         files = files[::10]
 
-    maps = [load_map_data(f, Rs_per_ds) for f in files]
+    if n_workers is None:
+        n_workers = min(os.cpu_count() or 1, len(files))
+    if n_workers > 1:
+        import functools
+        import multiprocessing
+        with multiprocessing.Pool(n_workers) as pool:
+            maps = pool.map(functools.partial(load_map_data,
+                                              Rs_per_ds=Rs_per_ds), files)
+    else:
+        maps = [load_map_data(f, Rs_per_ds) for f in files]
     o_times = [m['time'] for m in maps]
     ref_time = ref_time or min(o_times)
     times = np.asarray([normalize_datetime(t, seconds_per_dt, ref_time)

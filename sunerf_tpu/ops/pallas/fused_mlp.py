@@ -292,7 +292,12 @@ def _fused_mlp_bwd(dims, tile, bwd_tile, interpret, residuals, g):
         scratch_shapes=[pltpu.VMEM(s, f) for s in grad_shapes]
         + [pltpu.SemaphoreType.DMA((6,))],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # raise the scoped-VMEM ceiling (default 16 MiB): the grad
+            # accumulators + weights + recomputed pre-activations legitimately
+            # need more, and v5e has headroom beyond the conservative default
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(pts, gy, k_mat, w_in, w_h, w_out, b_in, b_h)
 
     dpts, dw_in, db_in, dw_h, db_h, dw_out, db_out = outs
