@@ -121,13 +121,20 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
 
     # index i such that cdf[i-1] <= u < cdf[i]  (== searchsorted right)
     inds = jnp.sum(cdf[..., None, :] <= u[..., :, None], axis=-1)
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+    m = cdf.shape[-1]
+    below = jnp.clip(inds - 1, 0, m - 1)
+    above = jnp.clip(inds, 0, m - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # gather via one-hot contraction: take_along_axis lowers to per-element
+    # dynamic slices on TPU (~6 ms per step at batch 1024); a [n, M] x [M]
+    # batched matvec runs on the MXU in microseconds
+    iota = jnp.arange(m)
+    oh_below = (below[..., None] == iota).astype(cdf.dtype)  # [R, n, M]
+    oh_above = (above[..., None] == iota).astype(cdf.dtype)
+    cdf_below = jnp.einsum('rnm,rm->rn', oh_below, cdf)
+    cdf_above = jnp.einsum('rnm,rm->rn', oh_above, cdf)
+    bins_below = jnp.einsum('rnm,rm->rn', oh_below, bins)
+    bins_above = jnp.einsum('rnm,rm->rn', oh_above, bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -125,7 +125,7 @@ def nerf_apply(config: NeRFConfig, params: dict, points: jnp.ndarray) -> FieldOu
 
 
 def nerf_apply_fused(config: NeRFConfig, params: dict, points: jnp.ndarray,
-                     tile: int = 1024, bwd_tile: int = 128,
+                     tile: int = 1024, bwd_tile: int = 256,
                      interpret: bool | None = None) -> FieldOutput:
     """Fused-Pallas-kernel evaluation: identical contract to nerf_apply, with
     posenc + all matmuls + sines in one VMEM-resident kernel

@@ -207,28 +207,30 @@ def _bwd_kernel(pts_ref, dy_ref, k_ref, w_in_ref, w_h_ref, w_out_ref,
                 precision=jax.lax.Precision.HIGHEST)
     enc = jnp.concatenate([pts, fast_sin(u), fast_cos(u)], axis=-1)
 
-    pre = []
+    # forward recompute storing sin AND cos (bf16): the backward sweep then
+    # needs zero transcendental recomputes (8 fewer VPU passes per tile than
+    # storing pre-activations and re-deriving sin/cos)
+    hs, cs = [], []
     z = _mm(enc, w_in_ref[:]) + b_in_ref[:]
-    pre.append(z.astype(jnp.bfloat16))
-    h = fast_sin(z)
+    hs.append(fast_sin(z).astype(jnp.bfloat16))
+    cs.append(fast_cos(z).astype(jnp.bfloat16))
     for i in range(dims.n_hidden):
-        z = _mm(h, w_h_ref[i]) + b_h_ref[i]
-        pre.append(z.astype(jnp.bfloat16))
-        h = fast_sin(z)
+        z = _mm(hs[-1], w_h_ref[i]) + b_h_ref[i]
+        hs.append(fast_sin(z).astype(jnp.bfloat16))
+        cs.append(fast_cos(z).astype(jnp.bfloat16))
 
     dy = dy_ref[:]
-    dw_out_acc[:] += _mm_t(h, dy, 0, 0)
+    dw_out_acc[:] += _mm_t(hs[-1], dy, 0, 0)
     db_out_acc[:] += jnp.sum(dy, axis=0, keepdims=True)
     dh = _mm_t(dy, w_out_ref[:], 1, 1)
 
     for i in range(dims.n_hidden - 1, -1, -1):
-        dz = dh * fast_cos(pre[i + 1].astype(jnp.float32))
-        h_prev = fast_sin(pre[i].astype(jnp.float32))
-        dw_h_acc[i] += _mm_t(h_prev, dz, 0, 0)
+        dz = dh * cs[i + 1].astype(jnp.float32)
+        dw_h_acc[i] += _mm_t(hs[i], dz, 0, 0)
         db_h_acc[i] += jnp.sum(dz, axis=0)
         dh = _mm_t(dz, w_h_ref[i], 1, 1)
 
-    dz = dh * fast_cos(pre[0].astype(jnp.float32))
+    dz = dh * cs[0].astype(jnp.float32)
     dw_in_acc[:] += _mm_t(enc, dz, 0, 0)
     db_in_acc[:] += jnp.sum(dz, axis=0, keepdims=True)
     denc = _mm_t(dz, w_in_ref[:], 1, 1)
@@ -316,7 +318,7 @@ _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 
 def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
-                   tile: int = 1024, bwd_tile: int = 128,
+                   tile: int = 1024, bwd_tile: int = 256,
                    interpret: bool | None = None) -> jnp.ndarray:
     """Evaluate the SuNeRF MLP via the fused kernel. Returns raw [N, d_output]
     (base offsets NOT applied — the caller adds them, matching nerf_apply).

@@ -21,6 +21,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None):
+    """Initialize multi-host JAX (GSPMD over DCN). Call before make_mesh() on
+    TPU pods; no-op on single-host. Args default to TPU-VM auto-detection."""
+    import jax
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception:
+        pass  # single-host
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
     """1-D mesh over all (or the given) devices."""
     if devices is None:

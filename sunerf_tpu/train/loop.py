@@ -84,9 +84,27 @@ class Trainer:
         start_step = int(self.state.step)
         batches = iterate_batches(self.data.train, shuffle=True, seed=cfg.seed)
 
+        # preemption handling: checkpoint on SIGTERM, then resume-from-last
+        # recovers the run (SURVEY §5 — the reference has none)
+        import signal
+        preempted = {'flag': False}
+
+        def _on_sigterm(signum, frame):
+            preempted['flag'] = True
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread
+            prev_handler = None
+
         t0 = time.perf_counter()
         rays_done = 0
         for step in range(start_step, cfg.total_steps):
+            if preempted['flag']:
+                self.save(step)
+                self.logger.log({'preempted': 1.0}, step)
+                if prev_handler is not None:
+                    signal.signal(signal.SIGTERM, prev_handler)
+                return self.state
             batch = next(batches)
             batch = {k: np.ascontiguousarray(v) for k, v in batch.items()}
             if self.mesh is not None:

@@ -186,6 +186,65 @@ def test_mhd_renderer(tmp_path):
     assert np.asarray(out['image']).max() > 0
 
 
+def test_dt_closed_loop(tmp_path):
+    """DT-head closed loop: SimpleStar multi-wavelength renders laid out as an
+    <instrument>/<wavelength>/ tree -> multi-thermal loader -> DT training
+    (loss drops) -> bundle reload."""
+    config = {
+        'model': 'SimpleStar',
+        'render_path': str(tmp_path / 'mt'),
+        'render_format': ['fits'],
+        'resolution': 12,
+        'wavelengths': [171, 193],
+        'batch_size': 256,
+        'pixel_intensity_factor': 1e9,
+        'observers': [{'name': 'aia', 'lat': 2.0 * i - 6, 'lon': i * 51.0,
+                       'distance': 215.0,
+                       'time': datetime(2012, 11, 1 + i).isoformat()}
+                      for i in range(7)],
+    }
+    render_observers(config)
+
+    from sunerf_tpu.data.loaders import build_multi_thermal_data
+    from sunerf_tpu.models.fields import density_temperature_config
+    from sunerf_tpu.systems import make_density_temperature_system
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig
+
+    data = build_multi_thermal_data(str(tmp_path / 'mt'),
+                                    str(tmp_path / 'work'), batch_size=96)
+    assert data.config['wavelengths'] == [171, 193]
+
+    renderer, init = make_density_temperature_system(
+        model_config=density_temperature_config(n_layers=2, d_filter=32),
+        pixel_intensity_factor=1e9,
+        n_stratified=8, n_hierarchical=8)
+    workdir = str(tmp_path / 'run')
+    trainer = Trainer(
+        renderer, init, data,
+        loss_config=LossConfig(image_scaling='none', lambda_regularization=0.0),
+        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+        trainer_config=TrainerConfig(total_steps=30, val_every=30,
+                                     checkpoint_every=30, log_every=10,
+                                     save_val_images=False),
+        workdir=workdir)
+    trainer.fit()
+
+    import json
+    with open(os.path.join(workdir, 'metrics.jsonl')) as f:
+        recs = [json.loads(l) for l in f]
+    losses = [r['loss'] for r in recs if 'loss' in r]
+    assert losses[-1] < losses[0], f'DT loss did not drop: {losses}'
+
+    loader = SuNeRFLoader(os.path.join(workdir, 'save_state'), batch_size=256)
+    view = loader.render_observer_image(lat=0.1, lon=0.5, time=0.0,
+                                        distance=215.0, resolution=8,
+                                        wavelengths=[171.0, 193.0])
+    assert view.image.shape == (8, 8, 2)
+    assert np.all(np.isfinite(view.image))
+
+
 def test_video_flyby(rendered_views, tmp_path):
     """Flyby frames from a trained state (uses the closed-loop workdir)."""
     pytest.importorskip('PIL')
