@@ -82,6 +82,29 @@ def download_eui(start: str, end: str, out_dir: str,
     return Fido.fetch(result, path=os.path.join(out_dir, '{file}'))
 
 
+def download_synoptic(carrington_rotation: int, out_dir: str,
+                      series: str = 'hmi.synoptic_mr_polfil_720s'):
+    """Synoptic-map fetch with header fixes (reference
+    data/download/synoptic_map.py:22-75)."""
+    try:
+        import drms
+    except ImportError as e:
+        raise ImportError(
+            'synoptic download requires the `drms` package; run on a '
+            'data-prep host') from e
+    client = drms.Client()
+    os.makedirs(out_dir, exist_ok=True)
+    seg = client.query(f'{series}[{carrington_rotation}]', seg='Mr_polfil')
+    urls = ['http://jsoc.stanford.edu' + u for u in seg.Mr_polfil]
+    import urllib.request
+    paths = []
+    for url in urls:
+        dst = os.path.join(out_dir, os.path.basename(url))
+        urllib.request.urlretrieve(url, dst)
+        paths.append(dst)
+    return paths
+
+
 def convert_stereo_to_sdo(files, out_dir: str):
     """ITI GAN instrument conversion SECCHI -> AIA-like (reference
     data/euv/convert_stereo_to_sdo.py:52-128; model stereo_to_sdo_v0_2.pt)."""

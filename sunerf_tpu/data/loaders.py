@@ -63,6 +63,36 @@ def load_map_data(path: str, Rs_per_ds: float = 1.0) -> dict:
             'wavelength': obs.wavelength, 'header': header}
 
 
+def load_map_stack(file_paths: list[str], resolution: Optional[int] = None,
+                   remove_nan: bool = True, apply_norm: bool = False,
+                   norms: Optional[dict] = None,
+                   percentile_clip_percent: Optional[float] = None) -> np.ndarray:
+    """Load + optionally resample/normalize a list of FITS files into a
+    [C, H, W] stack (reference loadMapStack, data/utils.py:74-125)."""
+    from sunerf_tpu.data.norms import SDO_NORMS
+    from sunerf_tpu.data.norms import normalize as norm_fn
+    from sunerf_tpu.data.norms import percentile_clip as pclip
+    norms = norms or SDO_NORMS
+    imgs = []
+    for p in file_paths:
+        data, header = read_fits(p)
+        if resolution and data.shape != (resolution, resolution):
+            from sunerf_tpu.data.prep import resample
+            data, header = resample(data, header, resolution)
+        if apply_norm:
+            wl = header.get('WAVELNTH')
+            wl = int(wl) if wl is not None else None
+            if wl in norms:
+                data = norm_fn(data, norms[wl])
+        imgs.append(data.astype(np.float32))
+    stack = np.stack(imgs)
+    if remove_nan:
+        stack = remove_nans(stack)
+    if percentile_clip_percent:
+        stack = pclip(stack, percentile_clip_percent)
+    return stack
+
+
 def _save_shards(working_dir: str, arrays: dict) -> dict:
     os.makedirs(working_dir, exist_ok=True)
     paths = {}

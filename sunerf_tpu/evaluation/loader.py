@@ -35,13 +35,28 @@ class ModelLoader:
     (reference ModelLoader, evaluation/loader.py:137-242)."""
 
     def __init__(self, renderer, params: dict, ref_time: datetime | None = None,
-                 seconds_per_dt: float = 86400.0, batch_size: int = 4096):
+                 seconds_per_dt: float = 86400.0, batch_size: int = 4096,
+                 mesh=None):
+        """mesh: optional device mesh — full-disk renders are then tiled
+        across chips (rays sharded via shard_map), replacing the reference's
+        torch.split + DataParallel scatter loop (evaluation/loader.py:91-108).
+        batch_size must be divisible by the mesh size."""
         self.renderer = renderer
         self.params = params
         self.ref_time = ref_time
         self.seconds_per_dt = seconds_per_dt
         self.batch_size = int(batch_size)
-        self._render = jax.jit(self._render_batch)
+        self.mesh = mesh
+        if mesh is None:
+            self._render = jax.jit(self._render_batch)
+        else:
+            from jax.sharding import PartitionSpec as P
+            from sunerf_tpu.parallel.mesh import DATA_AXIS
+            self._render = jax.jit(jax.shard_map(
+                self._render_batch, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS)))
 
     def _render_batch(self, params, rays_o, rays_d, times, wavelengths):
         out = self.renderer(params, rays_o, rays_d, times, key=None,

@@ -34,13 +34,18 @@ def create_train_state(params: dict, optimizer: optax.GradientTransformation) ->
 
 def make_train_step(renderer: Renderer, loss_config: LossConfig,
                     optimizer: optax.GradientTransformation,
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True,
+                    microbatch: Optional[int] = None):
     """Build the jitted train step.
 
     Args:
         mesh: optional 1-D device mesh; when given, the batch is expected
-            sharded on its data axis and params replicated (GSPMD handles the
-            gradient psum). When None, runs single-device.
+            sharded on its data axis and params replicated; grads are pmean'd
+            over ICI via shard_map. When None, runs single-device.
+        microbatch: optional per-chip chunk size: the gradient is accumulated
+            over batch//microbatch sequential chunks (lax.scan), bounding
+            activation memory for very large ray batches while keeping one
+            optimizer step per global batch.
 
     Returns:
         step_fn(state, batch, key) -> (state, metrics). batch keys: rays
@@ -49,16 +54,51 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
         layout (sunerf.py:99-101,174-176).
     """
 
-    def loss_fn(params, batch, key):
+    def single_loss_fn(params, batch, key):
         rays_o, rays_d = batch['rays'][:, 0], batch['rays'][:, 1]
         outputs = renderer(params, rays_o, rays_d, batch['time'], key=key,
                            wavelengths=batch.get('wavelength'))
         return render_loss(loss_config, outputs, batch['target_image'])
 
+    if microbatch is None:
+        grad_of_batch = jax.grad(single_loss_fn, has_aux=True)
+    else:
+        def grad_of_batch(params, batch, key):
+            n = batch['rays'].shape[0]
+            n_chunks = max(n // microbatch, 1)
+            chunks = jax.tree.map(
+                lambda x: x[:n_chunks * microbatch].reshape(
+                    n_chunks, microbatch, *x.shape[1:]), batch)
+
+            def body(carry, chunk_and_idx):
+                grads, metrics = carry
+                chunk, idx = chunk_and_idx
+                g, m = jax.grad(single_loss_fn, has_aux=True)(
+                    params, chunk, jax.random.fold_in(key, idx))
+                return (jax.tree.map(jnp.add, grads, g),
+                        jax.tree.map(jnp.add, metrics, m)), None
+
+            chunk0 = jax.tree.map(lambda x: x[0], chunks)
+            out_shapes = jax.eval_shape(
+                jax.grad(single_loss_fn, has_aux=True), params, chunk0, key)
+            # batch-derived zero so the carry carries the same shard_map
+            # varying-axis type as the per-chunk grads/metrics
+            vzero = jnp.sum(batch['time'][:0])
+            zero_g, zero_m = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype) + vzero.astype(s.dtype),
+                out_shapes)
+            (grads, metrics), _ = jax.lax.scan(
+                body, (zero_g, zero_m),
+                (chunks, jnp.arange(n_chunks)))
+            inv = 1.0 / n_chunks
+            return (jax.tree.map(lambda g: g * inv, grads),
+                    jax.tree.map(lambda m: m * inv, metrics))
+
+
     if mesh is None:
         def step_fn(state: TrainState, batch: dict, key: jax.Array):
             key = jax.random.fold_in(key, state.step)
-            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, batch, key)
+            grads, metrics = grad_of_batch(state.params, batch, key)
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), metrics
@@ -70,7 +110,7 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
     # gradient all-reduce is an explicit psum-mean over ICI.
     def grad_shard(params, batch, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(params, batch, key)
+        grads, metrics = grad_of_batch(params, batch, key)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean(metrics, DATA_AXIS)
         return grads, metrics
