@@ -33,7 +33,8 @@ DEFAULT_AIA_EXP_TIME = 2.9  # seconds (reference density_temperature.py:99)
 class TemperatureResponse:
     """Per-channel temperature response R(logT) on a shared logT grid.
 
-    logte: [G] log10 temperature grid (ascending).
+    logte: [G] log10 temperature grid (ascending, UNIFORM spacing — the
+        shipped AIA table is 4.0..9.0 step 0.05; load_aia_response asserts it).
     tresp: [C, G] response per channel, channel order == AIA_WAVELENGTHS.
     """
     logte: jnp.ndarray
@@ -49,10 +50,29 @@ class TemperatureResponse:
             [C, ...] responses; 0 outside the table range (extrap=0, matching
             xitorch Interp1D(extrap=0) in the reference).
         """
+        out = self.evaluate_channels_last(log_t)
+        return jnp.moveaxis(out, -1, 0)
+
+    def evaluate_channels_last(self, log_t: jnp.ndarray) -> jnp.ndarray:
+        """[..., C] variant, gather-free: jnp.interp lowers to per-element
+        gathers (~20 ms/step at batch 1024 x 7 channels on TPU); on the
+        uniform logte grid the lookup is a one-hot interpolation-weight matrix
+        times the [G, C] table — one MXU matmul."""
+        g0 = self.logte[0]
+        dt = self.logte[1] - self.logte[0]
+        G = self.logte.shape[0]
         flat = log_t.reshape(-1)
-        per_ch = jax.vmap(lambda t: jnp.interp(flat, self.logte, t, left=0.0, right=0.0))(
-            self.tresp)
-        return per_ch.reshape((self.tresp.shape[0],) + log_t.shape)
+        pos = (flat - g0) / dt
+        i0 = jnp.clip(jnp.floor(pos), 0, G - 2)
+        frac = pos - i0
+        inside = (pos >= 0.0) & (pos <= G - 1)
+        iota = jnp.arange(G, dtype=pos.dtype)
+        # W[n, g] = (g==i0)*(1-frac) + (g==i0+1)*frac, zeroed outside the grid
+        w = ((iota == i0[:, None]) * (1.0 - frac[:, None])
+             + (iota == i0[:, None] + 1.0) * frac[:, None])
+        w = w * inside[:, None]
+        out = jnp.dot(w, self.tresp.T, preferred_element_type=jnp.float32)
+        return out.reshape(log_t.shape + (self.tresp.shape[0],))
 
     def channel_onehot(self, wavelengths: jnp.ndarray) -> jnp.ndarray:
         """One-hot channel membership for wavelength values; all-zero rows for
@@ -73,9 +93,12 @@ def load_aia_response(path: str = DEFAULT_NPZ,
     """Load the packaged AIA response table (npz with 'logte' [G] and
     'tresp' [C, G]); multiplies by the exposure time."""
     with np.load(path) as f:
-        logte = jnp.asarray(f['logte'], jnp.float32)
+        logte_np = np.asarray(f['logte'], np.float32)
         tresp = jnp.asarray(f['tresp'], jnp.float32) * aia_exp_time
-    return TemperatureResponse(logte=logte, tresp=tresp)
+    steps = np.diff(logte_np)
+    assert np.allclose(steps, steps[0], rtol=1e-3), \
+        'response grid must be uniform (gather-free lookup assumes it)'
+    return TemperatureResponse(logte=jnp.asarray(logte_np), tresp=tresp)
 
 
 def convert_genx_to_npz(genx_path: str, npz_path: str = DEFAULT_NPZ) -> None:

@@ -75,8 +75,8 @@ class DensityTemperatureHead:
         log_t = jnp.maximum(raw[..., 1], 0.0)                  # [R, S]
 
         onehot = self.response.channel_onehot(wavelengths)     # [R, W, C]
-        per_ch = self.response.evaluate_all(log_t)             # [C, R, S]
-        t_resp = jnp.einsum('rwc,crs->rsw', onehot, per_ch)    # [R, S, W]
+        per_ch = self.response.evaluate_channels_last(log_t)   # [R, S, C]
+        t_resp = jnp.einsum('rwc,rsc->rsw', onehot, per_ch)    # [R, S, W]
 
         abs_coeff = onehot @ jnp.maximum(field_out.log_abs, 0.0)  # [R, W]
 
