@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from sunerf_tpu.core.geometry import get_rays, pose_spherical
+from sunerf_tpu.core.geometry import pose_spherical
 from sunerf_tpu.data.wcs import helioprojective_grid, parse_observer
 
 

@@ -64,6 +64,10 @@ def iterate_batches(dataset, epochs: int | None = None, shuffle: bool = True,
     n = len(dataset)
     full = dataset._n_rows // dataset.batch_size
     limit = full if drop_ragged and full > 0 else n
+    if limit == 0:
+        raise ValueError(
+            f'dataset yields no batches ({dataset._n_rows} rows, batch size '
+            f'{dataset.batch_size}) — the iterator would spin forever')
     rng = np.random.default_rng(seed)
     while epochs is None or epoch < epochs:
         order = rng.permutation(limit) if shuffle else np.arange(limit)

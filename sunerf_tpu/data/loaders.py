@@ -139,6 +139,10 @@ def build_single_channel_data(data_path: str, working_dir: str,
                                               Rs_per_ds=Rs_per_ds), files)
     else:
         maps = [load_map_data(f, Rs_per_ds) for f in files]
+    if len(maps) < 2:
+        raise ValueError(
+            f'need >= 2 maps (one is held out for validation); '
+            f'{data_path} matched {len(maps)}')
     o_times = [m['time'] for m in maps]
     ref_time = ref_time or min(o_times)
     times = np.asarray([normalize_datetime(t, seconds_per_dt, ref_time)

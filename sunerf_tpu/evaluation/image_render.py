@@ -112,17 +112,21 @@ def render_observers(config: dict):
                          batch_size=config.get('batch_size', 4096))
 
     outputs = []
-    for obs in observers_from_config(config):
+    for i, obs in enumerate(observers_from_config(config)):
         view = loader.render_observer_image(
             lat=np.deg2rad(obs['lat']), lon=np.deg2rad(obs['lon']),
             time=obs['time'], distance=obs['distance'],
             resolution=resolution, wavelengths=wavelengths)
-        tstr = obs['time'].strftime('%Y-%m-%dT%H%M%S') \
+        tstr = obs['time'].strftime('%Y-%m-%dT%H:%M:%S') \
             if isinstance(obs['time'], datetime) else f"t{obs['time']:g}"
         for c, wl in enumerate(wavelengths):
             out_dir = os.path.join(render_path, obs['name'], str(int(wl)))
             os.makedirs(out_dir, exist_ok=True)
-            base = os.path.join(out_dir, f"{obs['name']}.{tstr}.{int(wl)}")
+            # observer index in the name: several views can share name + time
+            # (e.g. a static multi-view constellation) — without it they would
+            # silently overwrite each other
+            base = os.path.join(out_dir,
+                                f"{obs['name']}_{i:03d}.{tstr}.{int(wl)}")
             if 'fits' in formats:
                 header = observer_header(
                     obs['lat'], obs['lon'], obs['distance'],
