@@ -178,6 +178,201 @@ def _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points):
     return out[:n], (params, points)
 
 
+# ------------------------------------------------- stashing forward/backward
+#
+# Variant that writes each layer's sin/cos activations to HBM as pipelined
+# kernel outputs during the forward pass (the DMA overlaps the matmuls) so the
+# backward skips the forward recompute entirely — 1/3 fewer backward matmuls
+# for ~4.3 GB of HBM traffic that hides behind compute. Used for training on
+# TPU; the recompute variant remains for memory-constrained cases.
+
+def _fwd_stash_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref,
+                      w_out_ref, b_out_ref, out_ref, hs_ref, cs_ref,
+                      *, dims: _Dims):
+    enc = _encode(pts_ref[:], k_ref)
+    z = _mm(enc, w_in_ref[:]) + b_in_ref[:]
+    h = fast_sin(z)
+    hs_ref[0] = h.astype(jnp.bfloat16)
+    cs_ref[0] = fast_cos(z).astype(jnp.bfloat16)
+    for i in range(dims.n_hidden):
+        z = _mm(h, w_h_ref[i]) + b_h_ref[i]
+        h = fast_sin(z)
+        hs_ref[i + 1] = h.astype(jnp.bfloat16)
+        cs_ref[i + 1] = fast_cos(z).astype(jnp.bfloat16)
+    out_ref[:] = _mm(h, w_out_ref[:]) + b_out_ref[:]
+
+
+def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
+                      w_h_ref, w_out_ref,
+                      dpts_ref, dw_in_hbm, db_in_hbm, dw_h_hbm, db_h_hbm,
+                      dw_out_hbm, db_out_hbm,
+                      dw_in_acc, db_in_acc, dw_h_acc, db_h_acc, dw_out_acc,
+                      db_out_acc, copy_sems, *, dims: _Dims):
+    first = pl.program_id(0) == 0
+    last = pl.program_id(0) == pl.num_programs(0) - 1
+
+    @pl.when(first)
+    def _init():
+        dw_in_acc[:] = jnp.zeros_like(dw_in_acc)
+        db_in_acc[:] = jnp.zeros_like(db_in_acc)
+        dw_h_acc[:] = jnp.zeros_like(dw_h_acc)
+        db_h_acc[:] = jnp.zeros_like(db_h_acc)
+        dw_out_acc[:] = jnp.zeros_like(dw_out_acc)
+        db_out_acc[:] = jnp.zeros_like(db_out_acc)
+
+    pts = pts_ref[:]
+    u = jnp.dot(pts, k_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    enc = jnp.concatenate([pts, fast_sin(u), fast_cos(u)], axis=-1)
+
+    dy = dy_ref[:]
+    dw_out_acc[:] += _mm_t(hs_ref[dims.n_hidden], dy, 0, 0)
+    db_out_acc[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dh = _mm_t(dy, w_out_ref[:], 1, 1)
+
+    for i in range(dims.n_hidden - 1, -1, -1):
+        dz = dh * cs_ref[i + 1].astype(jnp.float32)
+        dw_h_acc[i] += _mm_t(hs_ref[i], dz, 0, 0)
+        db_h_acc[i] += jnp.sum(dz, axis=0)
+        dh = _mm_t(dz, w_h_ref[i], 1, 1)
+
+    dz = dh * cs_ref[0].astype(jnp.float32)
+    dw_in_acc[:] += _mm_t(enc, dz, 0, 0)
+    db_in_acc[:] += jnp.sum(dz, axis=0, keepdims=True)
+    denc = _mm_t(dz, w_in_ref[:], 1, 1)
+
+    D = dims.d_input
+    d_freq = dims.n_freqs * D
+    du = (fast_cos(u) * denc[:, D:D + d_freq]
+          - fast_sin(u) * denc[:, D + d_freq:])
+    dpts_ref[:] = denc[:, :D] + jnp.dot(
+        du, k_ref[:].T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(last)
+    def _flush():
+        for idx, (acc, hbm) in enumerate((
+                (dw_in_acc, dw_in_hbm), (db_in_acc, db_in_hbm),
+                (dw_h_acc, dw_h_hbm), (db_h_acc, db_h_hbm),
+                (dw_out_acc, dw_out_hbm), (db_out_acc, db_out_hbm))):
+            copy = pltpu.make_async_copy(acc, hbm, copy_sems.at[idx])
+            copy.start()
+            copy.wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_mlp_stash(dims: _Dims, tile: int, interpret: bool,
+                     params: dict, points: jnp.ndarray) -> jnp.ndarray:
+    # primal (no-grad) path: the lean forward — no activation stashing, so
+    # inference renders of millions of points never allocate the stash; the
+    # stashing forward below only replaces this under differentiation
+    return _fused_mlp_fwd(dims, max(tile, 1024), tile, interpret,
+                          params, points)[0]
+
+
+def _fused_mlp_stash_fwd(dims, tile, interpret, params, points):
+    n = points.shape[0]
+    n_pad = _round_up(max(n, tile), tile)
+    pts = _pad_rows(points, n_pad)
+    k_mat, w_in, b_in, w_h, b_h, w_out, b_out = _prep(params, dims)
+    d_freq = dims.n_freqs * dims.d_input
+    L1, H = dims.n_hidden + 1, dims.d_filter
+
+    const = lambda *_: (0, 0)
+    const3 = lambda *_: (0, 0, 0)
+    act_spec = pl.BlockSpec((L1, tile, H), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out, hs, cs = pl.pallas_call(
+        functools.partial(_fwd_stash_kernel, dims=dims),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, dims.d_input), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.d_input, d_freq), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.d_enc, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.n_hidden, H, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.n_hidden, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, dims.d_output), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dims.d_output), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, dims.d_output), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            act_spec, act_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, dims.d_output), jnp.float32),
+            jax.ShapeDtypeStruct((L1, n_pad, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L1, n_pad, H), jnp.bfloat16),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(pts, k_mat, w_in, b_in, w_h, b_h, w_out, b_out)
+    return out[:n], (params, points, hs, cs)
+
+
+def _fused_mlp_stash_bwd(dims, tile, interpret, residuals, g):
+    params, points, hs, cs = residuals
+    n = points.shape[0]
+    n_pad = hs.shape[1]
+    pts = _pad_rows(points, n_pad)
+    gy = _pad_rows(g, n_pad)
+    k_mat, w_in, _b_in, w_h, _b_h, w_out, _b_out = _prep(params, dims)
+    d_freq = dims.n_freqs * dims.d_input
+    L1, H = dims.n_hidden + 1, dims.d_filter
+
+    const = lambda *_: (0, 0)
+    const3 = lambda *_: (0, 0, 0)
+    f = jnp.float32
+    D, E, O, L = dims.d_input, dims.d_enc, dims.d_output, dims.n_hidden
+    grad_shapes = ((E, H), (1, H), (L, H, H), (L, H), (H, O), (1, O))
+    out_shapes = ([jax.ShapeDtypeStruct((n_pad, D), f)]
+                  + [jax.ShapeDtypeStruct(s, f) for s in grad_shapes])
+    out_specs = ([pl.BlockSpec((tile, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6)
+    act_spec = pl.BlockSpec((L1, tile, H), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_stash_kernel, dims=dims),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            act_spec, act_spec,
+            pl.BlockSpec((D, d_freq), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H, H), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, O), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM(s, f) for s in grad_shapes]
+        + [pltpu.SemaphoreType.DMA((6,))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(pts, gy, hs, cs, k_mat, w_in, w_h, w_out)
+
+    dpts, dw_in, db_in, dw_h, db_h, dw_out, db_out = outs
+    dparams = {
+        'w_in': dw_in, 'b_in': db_in.reshape(-1),
+        'w_h': dw_h, 'b_h': db_h,
+        'w_out': dw_out, 'b_out': db_out.reshape(-1),
+    }
+    for k, v in params.items():
+        if k not in dparams:
+            dparams[k] = jnp.zeros_like(v)
+    return dparams, dpts[:n]
+
+
+_fused_mlp_stash.defvjp(_fused_mlp_stash_fwd, _fused_mlp_stash_bwd)
+
+
 # ---------------------------------------------------------------- backward
 
 def _bwd_kernel(pts_ref, dy_ref, k_ref, w_in_ref, w_h_ref, w_out_ref,
@@ -319,15 +514,24 @@ _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
                    tile: int = 1024, bwd_tile: int = 256,
-                   interpret: bool | None = None) -> jnp.ndarray:
+                   interpret: bool | None = None,
+                   stash: bool | None = None, stash_tile: int = 512) -> jnp.ndarray:
     """Evaluate the SuNeRF MLP via the fused kernel. Returns raw [N, d_output]
     (base offsets NOT applied — the caller adds them, matching nerf_apply).
 
     interpret=None auto-selects: real kernel on TPU, interpreter elsewhere.
+    stash=True (default) writes activations to HBM during the forward so the
+    backward skips its recompute (fastest for training); stash=False uses the
+    recompute backward (no activation memory — rendering/inference or very
+    large point counts).
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    if stash is None:
+        stash = not interpret  # interpreter runs the cheaper recompute path
     dims = _dims_from_config(config)
     mlp_params = {k: params[k] for k in
                   ('w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out')}
+    if stash:
+        return _fused_mlp_stash(dims, stash_tile, interpret, mlp_params, points)
     return _fused_mlp(dims, tile, bwd_tile, interpret, mlp_params, points)
