@@ -57,9 +57,10 @@ def test_emission_renderer_shapes_and_keys():
 def test_emission_renderer_deterministic_without_key():
     renderer, params = _tiny_emission()
     rays_o, rays_d, times = _rays(8)
-    out1 = renderer(params, rays_o, rays_d, times, key=None)
-    out2 = renderer(params, rays_o, rays_d, times, key=None)
-    np.testing.assert_array_equal(np.asarray(out1['image']), np.asarray(out2['image']))
+    f = jax.jit(lambda p, o, d, t: renderer(p, o, d, t, key=None)['image'])
+    out1 = f(params, rays_o, rays_d, times)
+    out2 = f(params, rays_o, rays_d, times)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
 def test_emission_renderer_jits():
@@ -78,7 +79,7 @@ def test_emission_gradients_flow():
         out = renderer(p, rays_o, rays_d, times, key=None)
         return jnp.mean(out['image'] ** 2) + jnp.mean(out['coarse_image'] ** 2)
 
-    grads = jax.grad(loss)(params)
+    grads = jax.jit(jax.grad(loss))(params)
     gnorm_coarse = sum(float(jnp.sum(g ** 2)) for g in jax.tree.leaves(grads['coarse']))
     gnorm_fine = sum(float(jnp.sum(g ** 2)) for g in jax.tree.leaves(grads['fine']))
     assert gnorm_coarse > 0 and gnorm_fine > 0
@@ -99,10 +100,10 @@ def test_simple_star_full_disk_render():
     rays_o, rays_d = observer_rays(lat=0.0, lon=0.0, distance=5.0, resolution=res)
     n = res * res
     wl = jnp.broadcast_to(jnp.array([171.0, 193.0]), (n, 2))
-    out = renderer(params, jnp.asarray(rays_o.reshape(-1, 3)),
-                   jnp.asarray(rays_d.reshape(-1, 3)),
-                   jnp.zeros((n, 1)), wavelengths=wl)
-    img = np.asarray(out['image']).reshape(res, res, 2)
+    f = jax.jit(lambda p, o, d, t, w: renderer(p, o, d, t, wavelengths=w)['image'])
+    img = f(params, jnp.asarray(rays_o.reshape(-1, 3)),
+            jnp.asarray(rays_d.reshape(-1, 3)), jnp.zeros((n, 1)), wl)
+    img = np.asarray(img).reshape(res, res, 2)
     assert np.all(np.isfinite(img)) and np.all(img >= 0)
     center = img[res // 2 - 2:res // 2 + 2, res // 2 - 2:res // 2 + 2].mean()
     corner = img[:2, :2].mean()
@@ -113,7 +114,8 @@ def test_thomson_system_outputs():
     renderer, init = make_thomson_system(n_stratified=16, n_hierarchical=16)
     params = init(jax.random.key(0))
     rays_o, rays_d, times = _rays(6)
-    out = renderer(params, rays_o, rays_d, times, key=None)
+    out = jax.jit(lambda p, o, d, t: renderer(p, o, d, t, key=None))(
+        params, rays_o, rays_d, times)
     assert out['image'].shape == (6, 2)  # total + polarized brightness
     assert 'pixel_density' in out and 'distance_from_sun' in out
     for k in ('image', 'pixel_density', 'distance_from_sun', 'distance_from_obs'):
