@@ -79,12 +79,10 @@ def helioprojective_directions(tx, ty):
     """Unit direction vectors in camera frame from helioprojective angles [rad].
 
     Central pixel (Tx=Ty=0) looks down (0, 0, -1) (reference ray_sampling.py:15-17).
-    Works with numpy or jax.numpy arrays of any matching shape.
     """
-    xp = np if isinstance(tx, np.ndarray) else np  # host-side helper; jnp works via ufuncs
-    x = xp.sin(tx)
-    y = -xp.sin(ty) * xp.cos(tx)
-    z = -xp.cos(tx) * xp.cos(ty)
+    x = np.sin(tx)
+    y = -np.sin(ty) * np.cos(tx)
+    z = -np.cos(tx) * np.cos(ty)
     return np.stack([x, y, z], axis=-1).astype(np.float32)
 
 
