@@ -111,6 +111,7 @@ class MHDFieldLoader:
 
     def __init__(self, data_path: str, max_frames: int | None = None):
         from sunerf_tpu.data.psi_io import rdhdf_3d
+        self.data_path = data_path
         rho_files = sorted(glob.glob(os.path.join(data_path, 'rho', '*.h5')))
         t_files = sorted(glob.glob(os.path.join(data_path, 't', '*.h5')))
         if not rho_files or not t_files:

@@ -158,7 +158,7 @@ def make_mhd_renderer(loader, Rs_per_ds: float = 1.0,
                         head=head, Rs_per_ds=Rs_per_ds,
                         spec=_spec('mhd', None, Rs_per_ds, render_kwargs,
                                    pixel_intensity_factor=pixel_intensity_factor,
-                                   data_path=getattr(loader, 'data_path', None)),
+                                   data_path=loader.data_path),
                         **render_kwargs)
     p = loader.init_params()
     return renderer, {'coarse': p, 'fine': p}
@@ -190,4 +190,16 @@ def from_spec(spec: dict, use_fused: Optional[bool] = None):
         return make_thomson_system(Rs_per_ds=spec['Rs_per_ds'],
                                    model_config=config, use_fused=use_fused,
                                    **kwargs)
+    if head == 'mhd':
+        from sunerf_tpu.models.mhd_field import MHDFieldLoader
+        data_path = spec.get('data_path')
+        if not data_path:
+            raise ValueError('mhd spec carries no data_path (cube files are '
+                             'not serialized into the bundle)')
+        loader = MHDFieldLoader(data_path)
+        renderer, params = make_mhd_renderer(
+            loader, Rs_per_ds=spec['Rs_per_ds'],
+            pixel_intensity_factor=spec.get('pixel_intensity_factor', 1e10),
+            **kwargs)
+        return renderer, (lambda _key=None: params)
     raise ValueError(f'unknown head {head!r}')

@@ -40,6 +40,11 @@ class TrainerConfig:
     seed: int = 7
     debug_nans: bool = False     # jax_debug_nans mode (SURVEY §5 race/NaN detection)
     save_val_images: bool = True
+    # capture a jax.profiler trace over steps [profile_start, profile_start +
+    # profile_steps) into <workdir>/profile (SURVEY §5: the reference has no
+    # profiling at all); 0 disables
+    profile_steps: int = 0
+    profile_start: int = 10
 
 
 class Trainer:
@@ -96,9 +101,17 @@ class Trainer:
         except ValueError:  # not the main thread
             prev_handler = None
 
+        profiling = False
         t0 = time.perf_counter()
         rays_done = 0
         for step in range(start_step, cfg.total_steps):
+            if cfg.profile_steps:
+                if step == cfg.profile_start:
+                    jax.profiler.start_trace(os.path.join(self.workdir, 'profile'))
+                    profiling = True
+                elif profiling and step == cfg.profile_start + cfg.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
             if preempted['flag']:
                 self.save(step)
                 self.logger.log({'preempted': 1.0}, step)

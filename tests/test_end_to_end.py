@@ -255,3 +255,44 @@ def test_video_flyby(rendered_views, tmp_path):
     dists = [p[2] for p in poses]
     assert min(dists) < 200.0  # zoom leg
     assert max(lats) > 0.5     # polar leg
+
+
+def test_from_spec_all_heads(tmp_path):
+    """Every serializable renderer spec reconstructs (checkpoint reload path)."""
+    import jax
+    from sunerf_tpu.systems import (from_spec, make_density_temperature_system,
+                                    make_emission_system,
+                                    make_simple_star_renderer,
+                                    make_thomson_system)
+    from sunerf_tpu.models.fields import emission_config
+
+    for factory, kwargs in (
+            (make_emission_system, dict(model_config=emission_config(n_layers=2, d_filter=16))),
+            (make_density_temperature_system, dict()),
+            (make_simple_star_renderer, dict()),
+            (make_thomson_system, dict())):
+        renderer, _ = factory(n_stratified=8, n_hierarchical=8, **kwargs)
+        rebuilt, init = from_spec(renderer.spec)
+        assert type(rebuilt.head) is type(renderer.head)
+        assert rebuilt.n_stratified == 8
+
+    # MHD spec round-trips through its data_path
+    import numpy as np
+    from sunerf_tpu.data.psi_io import wrhdf_3d
+    from sunerf_tpu.models.mhd_field import MHDFieldLoader
+    from sunerf_tpu.systems import make_mhd_renderer
+    r = np.linspace(1.0, 2.0, 5)
+    th = np.linspace(0.0, np.pi, 4)
+    phi = np.linspace(0.0, 2 * np.pi, 6)
+    for var in ('rho', 't'):
+        d = tmp_path / var
+        d.mkdir()
+        for f in range(2):
+            wrhdf_3d(str(d / f'{var}00{10 + f}.h5'), r, th, phi,
+                     np.ones((6, 4, 5)))
+    loader = MHDFieldLoader(str(tmp_path))
+    renderer, params = make_mhd_renderer(loader, n_stratified=8,
+                                         n_hierarchical=8)
+    rebuilt, init = from_spec(renderer.spec)
+    p = init()
+    assert p['coarse']['log_abs'].shape == (7,)
