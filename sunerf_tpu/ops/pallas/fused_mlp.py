@@ -17,9 +17,15 @@ bare matmuls take 2.96 ms. This kernel:
 
 Measured forward: 4.1 ms at N=196608 (vs 25.7 ms XLA) — ~6x.
 
-Backward recomputes activations per tile (pre-activations in VMEM, bf16) and
-accumulates weight grads in f32 VMEM *scratch* (single-buffered, unlike
-pipeline outputs) — DMA'd to HBM outputs at the last grid step.
+Two backward variants, both accumulating weight grads in f32 VMEM *scratch*
+(single-buffered, unlike pipeline outputs), DMA'd to HBM at the last grid step:
+  * stashing (training default): the forward writes each layer's sin/cos to
+    HBM as pipelined outputs (DMA hides behind matmuls) and the backward
+    consumes them as pipelined inputs — no forward recompute
+    (fwd+bwd 22.4 ms at 262k points). The no-grad path stays lean: the
+    custom_vjp primal runs the plain forward, so inference never stashes.
+  * recompute: re-runs the forward per tile keeping sin/cos in VMEM
+    (fwd+bwd 29.4 ms) — for memory-constrained cases.
 
 This replaces the reference's hot loop (NeRF MLP evaluation,
 sunerf/model/model.py:44-57 via rendering/base_tracing.py:118-129) — 95+% of
