@@ -16,3 +16,26 @@ Package map (reference layer in parens, see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+# public API (lazy: importing sunerf_tpu must not pull jax before the caller
+# has a chance to configure platforms/caches)
+_PUBLIC = {
+    'make_emission_system': 'sunerf_tpu.systems',
+    'make_density_temperature_system': 'sunerf_tpu.systems',
+    'make_simple_star_renderer': 'sunerf_tpu.systems',
+    'make_thomson_system': 'sunerf_tpu.systems',
+    'make_mhd_renderer': 'sunerf_tpu.systems',
+    'from_spec': 'sunerf_tpu.systems',
+    'Renderer': 'sunerf_tpu.rendering.renderer',
+    'SuNeRFLoader': 'sunerf_tpu.evaluation.loader',
+    'ModelLoader': 'sunerf_tpu.evaluation.loader',
+    'Trainer': 'sunerf_tpu.train.loop',
+    'TrainerConfig': 'sunerf_tpu.train.loop',
+}
+
+
+def __getattr__(name):
+    if name in _PUBLIC:
+        import importlib
+        return getattr(importlib.import_module(_PUBLIC[name]), name)
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -1,0 +1,103 @@
+"""Coverage for less-traveled corners: rotated WCS, integer FITS, the
+spherical-sampler renderer path, custom FOV renders, and the public API."""
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sunerf_tpu.data.fits import Header, read_fits, write_fits
+from sunerf_tpu.data.wcs import helioprojective_grid, observer_header
+
+
+def test_public_api_lazy_exports():
+    import sunerf_tpu
+    assert callable(sunerf_tpu.make_emission_system)
+    assert callable(sunerf_tpu.SuNeRFLoader)
+    try:
+        sunerf_tpu.not_a_thing
+        assert False
+    except AttributeError:
+        pass
+
+
+def test_wcs_crota2_rotation():
+    """A 90-deg CROTA2 swaps the Tx/Ty axes (up to sign)."""
+    header = Header()
+    header.update(observer_header(0.0, 0.0, 215.0, datetime(2012, 1, 1),
+                                  9, 193.0))
+    tx0, ty0 = helioprojective_grid(header, shape=(9, 9))
+    header['CROTA2'] = 90.0
+    tx90, ty90 = helioprojective_grid(header, shape=(9, 9))
+    # PC(90 deg) = [[0,-1],[1,0]] (square pixels): Tx' = -Ty, Ty' = Tx
+    np.testing.assert_allclose(tx90, -ty0, atol=1e-9)
+    np.testing.assert_allclose(ty90, tx0, atol=1e-9)
+
+
+def test_fits_int16_with_bzero(tmp_path):
+    """Unsigned 16-bit data stored as int16 + BZERO (the common AIA raw
+    layout) reads back as physical values."""
+    import struct
+    # hand-craft a minimal BITPIX=16 file with BSCALE/BZERO
+    path = str(tmp_path / 'u16.fits')
+    cards = []
+
+    def card(k, v):
+        if isinstance(v, bool):
+            return f'{k:<8}= {"T" if v else "F":>20}'.ljust(80)
+        return f'{k:<8}= {v:>20}'.ljust(80)
+
+    cards += [card('SIMPLE', True), card('BITPIX', 16), card('NAXIS', 2),
+              card('NAXIS1', 4), card('NAXIS2', 2), card('BZERO', 32768),
+              card('BSCALE', 1), 'END'.ljust(80)]
+    header_bytes = ''.join(cards).encode()
+    header_bytes += b' ' * (-len(header_bytes) % 2880)
+    vals = np.array([[0, 1, 2, 3], [4, 5, 6, 7]], dtype='>i2')
+    data_bytes = vals.tobytes()
+    data_bytes += b'\0' * (-len(data_bytes) % 2880)
+    with open(path, 'wb') as f:
+        f.write(header_bytes + data_bytes)
+    data, header = read_fits(path)
+    np.testing.assert_allclose(data, vals.astype(np.float64) + 32768)
+
+
+def test_renderer_spherical_sampling():
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    renderer, init = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=16),
+        sampling='spherical', sample_distance=2.0,
+        n_stratified=8, n_hierarchical=8)
+    params = init(jax.random.key(0))
+    o = jnp.array([[4.0, 0.0, 0.0]])
+    d = jnp.array([[-1.0, 0.0, 0.0]])
+    out = jax.jit(lambda p: renderer(p, o, d, jnp.zeros((1, 1)), key=None))(params)
+    z = np.asarray(out['z_vals_stratified'])
+    # spherical sampler: enters the 2-Rsun bounding sphere at t=2
+    assert abs(z[0, 0] - 2.0) < 1e-4
+    assert np.all(np.isfinite(np.asarray(out['image'])))
+
+
+def test_render_with_custom_fov():
+    from sunerf_tpu.evaluation.loader import ModelLoader
+    from sunerf_tpu.systems import make_simple_star_renderer
+    renderer, init = make_simple_star_renderer(n_stratified=8,
+                                               n_hierarchical=8, perturb=False)
+    params = init()
+    params['coarse']['log_abs'] = jnp.zeros(7)
+    loader = ModelLoader(renderer, params, batch_size=256)
+    wide = loader.render_observer_image(0.0, 0.0, 0.0, 215.0, resolution=8,
+                                        wavelengths=[193.0])
+    narrow = loader.render_observer_image(0.0, 0.0, 0.0, 215.0, resolution=8,
+                                          wavelengths=[193.0],
+                                          fov=2 * np.arctan2(0.5, 215.0))
+    # narrow FOV looks only at the disk: every pixel bright
+    assert narrow.image.min() > wide.image.min()
+
+
+def test_fits_write_rejects_bad_dtype(tmp_path):
+    try:
+        write_fits(str(tmp_path / 'x.fits'), np.zeros((2, 2), dtype=complex))
+        assert False
+    except TypeError:
+        pass
