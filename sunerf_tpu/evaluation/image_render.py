@@ -46,18 +46,22 @@ def build_model_renderer(config: dict):
         renderer, init = make_simple_star_renderer(
             pixel_intensity_factor=pif, perturb=False)
         params = init()
-        if config.get('zero_absorption', True):
-            # the reference SimpleStar log_abs table renders black frames
-            # (kappa = rho * 20 is fully opaque); default to transparent corona
-            import jax.numpy as jnp
-            params['coarse']['log_abs'] = jnp.zeros(7)
-        return renderer, params
-    if name == 'MHDModel':
+    elif name == 'MHDModel':
         from sunerf_tpu.models.mhd_field import MHDFieldLoader
         from sunerf_tpu.systems import make_mhd_renderer
         loader = MHDFieldLoader(config['data_path'])
-        return make_mhd_renderer(loader, pixel_intensity_factor=pif)
-    raise ValueError(f'unknown model {name!r}')
+        renderer, params = make_mhd_renderer(loader,
+                                             pixel_intensity_factor=pif,
+                                             perturb=False)
+    else:
+        raise ValueError(f'unknown model {name!r}')
+    if config.get('zero_absorption', True):
+        # the reference SimpleStar/MHD log_abs tables (~20 per channel) render
+        # black frames (kappa = rho * 20 is fully opaque at rho ~ 1e5-1e8);
+        # default to a transparent corona for training-set synthesis
+        import jax.numpy as jnp
+        params['coarse']['log_abs'] = jnp.zeros(7)
+    return renderer, params
 
 
 def observers_from_config(config: dict) -> list[dict]:
