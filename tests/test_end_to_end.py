@@ -296,3 +296,57 @@ def test_from_spec_all_heads(tmp_path):
     rebuilt, init = from_spec(renderer.spec)
     p = init()
     assert p['coarse']['log_abs'].shape == (7,)
+
+
+def test_thomson_closed_loop():
+    """Thomson head trains: fit a NeRF's electron density to white-light
+    brightness rendered from a teacher field (the head the reference never
+    wired to an entry point)."""
+    import functools
+    import jax.numpy as jnp
+    from sunerf_tpu.models.fields import emission_config, init_nerf, nerf_apply
+    from sunerf_tpu.rendering.renderer import Renderer
+    from sunerf_tpu.rendering.thomson import ThomsonHead
+    from sunerf_tpu.models.fields import FieldOutput
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig, make_optimizer
+    from sunerf_tpu.train.step import create_train_state, make_train_step
+
+    # teacher: analytic electron density n_e = 1e8 * exp((1/r - 1)/h)
+    def teacher_apply(params, pts):
+        r = jnp.linalg.norm(pts[:, :3], axis=-1)
+        log_ne = 8.0 + ((1.0 / jnp.maximum(r, 0.5) - 1.0) / 0.2) / jnp.log(10.0)
+        return FieldOutput(raw=jnp.stack([log_ne, jnp.zeros_like(log_ne)], -1))
+
+    head = ThomsonHead()
+    teacher = Renderer(field_apply=teacher_apply, head=head,
+                       n_stratified=8, n_hierarchical=8, perturb=False)
+
+    n = 128
+    key = jax.random.key(0)
+    rays_o = jnp.tile(jnp.array([[4.0, 0.0, 0.0]]), (n, 1))
+    dirs = jnp.array([[-1.0, 0.0, 0.0]]) + 0.15 * jax.random.normal(key, (n, 3))
+    rays_d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    times = jnp.zeros((n, 1))
+    target = teacher({'coarse': {}, 'fine': {}}, rays_o, rays_d, times)['image']
+    assert np.all(np.isfinite(np.asarray(target))) and float(target.max()) > 0
+
+    config = emission_config(n_layers=2, d_filter=32)
+    student = Renderer(field_apply=functools.partial(nerf_apply, config),
+                       head=head, n_stratified=8, n_hierarchical=8,
+                       perturb=False)
+    k1, k2 = jax.random.split(key)
+    params = {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3))
+    step = make_train_step(student, LossConfig(image_scaling='none',
+                                               lambda_regularization=0.0),
+                           optimizer)
+    state = create_train_state(params, optimizer)
+    batch = {'rays': jnp.stack([rays_o, rays_d], 1), 'time': times,
+             'target_image': target}
+    first = None
+    for _ in range(25):
+        state, metrics = step(state, batch, key)
+        if first is None:
+            first = float(metrics['loss'])
+    assert float(metrics['loss']) < first, 'Thomson training did not improve'
