@@ -121,8 +121,17 @@ def render_observers(config: dict):
             lat=np.deg2rad(obs['lat']), lon=np.deg2rad(obs['lon']),
             time=obs['time'], distance=obs['distance'],
             resolution=resolution, wavelengths=wavelengths)
-        tstr = obs['time'].strftime('%Y-%m-%dT%H:%M:%S') \
-            if isinstance(obs['time'], datetime) else f"t{obs['time']:g}"
+        # float times map onto a synthetic epoch so FITS headers carry a real
+        # DATE-OBS that round-trips through the training loaders
+        if isinstance(obs['time'], datetime):
+            header_time = obs['time']
+            tstr = obs['time'].strftime('%Y-%m-%dT%H:%M:%S')
+        else:
+            from datetime import timedelta
+            header_time = datetime(2000, 1, 1) + timedelta(
+                seconds=float(obs['time'])
+                * config.get('seconds_per_dt', 86400.0))
+            tstr = header_time.strftime('%Y-%m-%dT%H:%M:%S')
         for c, wl in enumerate(wavelengths):
             out_dir = os.path.join(render_path, obs['name'], str(int(wl)))
             os.makedirs(out_dir, exist_ok=True)
@@ -134,8 +143,7 @@ def render_observers(config: dict):
             if 'fits' in formats:
                 header = observer_header(
                     obs['lat'], obs['lon'], obs['distance'],
-                    obs['time'] if isinstance(obs['time'], datetime)
-                    else datetime(2000, 1, 1), resolution, float(wl))
+                    header_time, resolution, float(wl))
                 if overwrite or not os.path.exists(base + '.fits'):
                     write_fits(base + '.fits', view.image[:, :, c], header)
             if 'jpeg' in formats:

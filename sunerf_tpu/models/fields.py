@@ -48,6 +48,11 @@ class NeRFConfig:
     d_filter: int = 512
     n_freqs: int = 10
     scale_factor: float = 2.0
+    # optional lower band count for the time axis: the reference encodes t
+    # with the full 10 bands (freqs up to 256/dt), which leaves the field
+    # unconstrained between sparsely-sampled observation times; 1-3 bands
+    # give smooth temporal interpolation (None = reference parity)
+    n_freqs_time: Optional[int] = None
     # density-temperature variant (reference NeRF_DT, model.py:136-187)
     base_log_density: float = 0.0
     base_log_temperature: float = 0.0
@@ -58,7 +63,7 @@ class NeRFConfig:
 
     @property
     def d_encoded(self) -> int:
-        return encoded_dim(self.d_input, self.n_freqs)
+        return encoded_dim(self.d_input, self.n_freqs, self.n_freqs_time)
 
 
 def _linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32):
@@ -105,7 +110,8 @@ def nerf_apply(config: NeRFConfig, params: dict, points: jnp.ndarray) -> FieldOu
         FieldOutput with raw [N, d_output] (+ aux params for DT configs).
     """
     prec = _precision(config)
-    x = positional_encoding(points, config.n_freqs, config.scale_factor)
+    x = positional_encoding(points, config.n_freqs, config.scale_factor,
+                            n_freqs_time=config.n_freqs_time)
     h = jnp.sin(jnp.dot(x, params['w_in'], precision=prec) + params['b_in'])
 
     def layer(h, wb):

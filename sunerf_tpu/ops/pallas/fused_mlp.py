@@ -75,22 +75,35 @@ class _Dims(NamedTuple):
     n_hidden: int
     n_freqs: int
     scale_factor: float
+    n_freqs_time: int | None = None
+
+    @property
+    def n_cols(self) -> int:
+        # sin/cos feature columns (time columns may be truncated)
+        return (self.d_enc - self.d_input) // 2
 
 
 def _dims_from_config(config) -> _Dims:
     return _Dims(d_input=config.d_input, d_enc=config.d_encoded,
                  d_filter=config.d_filter, d_output=config.d_output,
                  n_hidden=config.n_layers - 1, n_freqs=config.n_freqs,
-                 scale_factor=config.scale_factor)
+                 scale_factor=config.scale_factor,
+                 n_freqs_time=getattr(config, 'n_freqs_time', None))
 
 
 def _freq_matrix(dims: _Dims) -> np.ndarray:
     """[D, F*D] frequency-expansion matrix: (x @ K)[:, k*D+d] = x_d * f_k —
     frequency-major, matching core/encoding.py."""
-    K = np.zeros((dims.d_input, dims.n_freqs * dims.d_input), np.float32)
+    from sunerf_tpu.core.encoding import _column_mask
+    mask = _column_mask(dims.d_input, dims.n_freqs, dims.n_freqs_time)
+    K = np.zeros((dims.d_input, dims.n_cols), np.float32)
+    col = 0
     for k in range(dims.n_freqs):
         for d in range(dims.d_input):
-            K[d, k * dims.d_input + d] = 2.0 ** k / dims.scale_factor
+            if mask[k * dims.d_input + d]:
+                K[d, col] = 2.0 ** k / dims.scale_factor
+                col += 1
+    assert col == dims.n_cols
     return K
 
 
@@ -151,7 +164,7 @@ def _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points):
     n_pad = _round_up(max(n, tile), tile)
     pts = _pad_rows(points, n_pad)
     k_mat, w_in, b_in, w_h, b_h, w_out, b_out = _prep(params, dims)
-    d_freq = dims.n_freqs * dims.d_input
+    d_freq = dims.n_cols
 
     const = lambda *_: (0, 0)
     const3 = lambda *_: (0, 0, 0)
@@ -248,7 +261,7 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
     denc = _mm_t(dz, w_in_ref[:], 1, 1)
 
     D = dims.d_input
-    d_freq = dims.n_freqs * D
+    d_freq = dims.n_cols
     du = (fast_cos(u) * denc[:, D:D + d_freq]
           - fast_sin(u) * denc[:, D + d_freq:])
     dpts_ref[:] = denc[:, :D] + jnp.dot(
@@ -281,7 +294,7 @@ def _fused_mlp_stash_fwd(dims, tile, interpret, params, points):
     n_pad = _round_up(max(n, tile), tile)
     pts = _pad_rows(points, n_pad)
     k_mat, w_in, b_in, w_h, b_h, w_out, b_out = _prep(params, dims)
-    d_freq = dims.n_freqs * dims.d_input
+    d_freq = dims.n_cols
     L1, H = dims.n_hidden + 1, dims.d_filter
 
     const = lambda *_: (0, 0)
@@ -326,7 +339,7 @@ def _fused_mlp_stash_bwd(dims, tile, interpret, residuals, g):
     pts = _pad_rows(points, n_pad)
     gy = _pad_rows(g, n_pad)
     k_mat, w_in, _b_in, w_h, _b_h, w_out, _b_out = _prep(params, dims)
-    d_freq = dims.n_freqs * dims.d_input
+    d_freq = dims.n_cols
     L1, H = dims.n_hidden + 1, dims.d_filter
 
     const = lambda *_: (0, 0)
@@ -438,7 +451,7 @@ def _bwd_kernel(pts_ref, dy_ref, k_ref, w_in_ref, w_h_ref, w_out_ref,
 
     # posenc backward: dx = denc_x + (cos(u)*dsin - sin(u)*dcos) @ K^T
     D = dims.d_input
-    d_freq = dims.n_freqs * D
+    d_freq = dims.n_cols
     du = (fast_cos(u) * denc[:, D:D + d_freq]
           - fast_sin(u) * denc[:, D + d_freq:])
     dpts_ref[:] = denc[:, :D] + jnp.dot(
@@ -463,7 +476,7 @@ def _fused_mlp_bwd(dims, tile, bwd_tile, interpret, residuals, g):
     pts = _pad_rows(points, n_pad)
     gy = _pad_rows(g, n_pad)  # zero-padded rows contribute zero grads
     k_mat, w_in, b_in, w_h, b_h, w_out, _b_out = _prep(params, dims)
-    d_freq = dims.n_freqs * dims.d_input
+    d_freq = dims.n_cols
 
     const = lambda *_: (0, 0)
     const3 = lambda *_: (0, 0, 0)
