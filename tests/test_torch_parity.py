@@ -120,3 +120,102 @@ def test_positional_encoding_matches_torch():
         torch.cos(tx[:, None, :] * f / 2.0).reshape(7, -1)], dim=-1).numpy()
     ours = np.asarray(positional_encoding(jnp.asarray(x), n_freqs=10))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+# ---- module-level reference-shaped torch classes for the .snf test ----
+# (must be module-level: function-local classes cannot be pickled)
+import torch.nn as _nn
+
+
+class _RefSine(_nn.Module):
+    def forward(self, x):
+        return torch.sin(x)
+
+
+class _RefPositionalEncoding(_nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.register_buffer('freq_bands', 2.0 ** torch.linspace(0., 9., 10))
+
+    def forward(self, x):
+        f = self.freq_bands[None, :, None]
+        return torch.cat([x,
+                          torch.sin(x[:, None, :] * f / 2).reshape(x.shape[0], -1),
+                          torch.cos(x[:, None, :] * f / 2).reshape(x.shape[0], -1)], -1)
+
+
+class _RefNeRF(_nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.in_layer = _nn.Sequential(_RefPositionalEncoding(), _nn.Linear(84, 48))
+        self.layers = _nn.ModuleList([_nn.Linear(48, 48) for _ in range(2)])
+        self.out_layer = _nn.Linear(48, 2)
+        self.act = _RefSine()
+
+    def forward(self, x):
+        x = self.act(self.in_layer(x))
+        for layer in self.layers:
+            x = self.act(layer(x))
+        return self.out_layer(x)
+
+
+class _RefRendering(_nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.coarse_model = _RefNeRF()
+        self.fine_model = _RefNeRF()
+
+
+def test_snf_converter_roundtrip(tmp_path):
+    """Build a faithful reference-style .snf (torch modules pickled under
+    sunerf.* module paths, the real save_state layout) and convert it; the
+    converted JAX params must reproduce the torch model's outputs."""
+    import sys as _sys
+
+    # pickle under reference module paths so the converter's stub loader runs
+    alias = {'_RefSine': 'Sine', '_RefPositionalEncoding': 'PositionalEncoding',
+             '_RefNeRF': 'NeRF', '_RefRendering': 'Rendering'}
+    mods = {'_RefRendering': 'sunerf.rendering.emission'}
+    for cls in (_RefSine, _RefPositionalEncoding, _RefNeRF, _RefRendering):
+        mod = mods.get(cls.__name__, 'sunerf.model.model')
+        name = alias[cls.__name__]
+        cls.__module__ = mod
+        cls.__qualname__ = name
+        cls.__name__ = name
+        # register the full dotted package chain (pickle's __import__ walks it)
+        parts = mod.split('.')
+        for i in range(1, len(parts) + 1):
+            dotted = '.'.join(parts[:i])
+            _sys.modules.setdefault(dotted, type(_sys)(dotted))
+            if i > 1:
+                setattr(_sys.modules['.'.join(parts[:i - 1])], parts[i - 1],
+                        _sys.modules[dotted])
+        setattr(_sys.modules[mod], name, cls)
+
+    torch.manual_seed(0)
+    rendering = _RefRendering()
+    snf = str(tmp_path / 'save_state.snf')
+    torch.save({'rendering': rendering, 'Rs_per_ds': 1.0,
+                'seconds_per_dt': 86400.0, 'ref_time': '2012-08-23T00:00:00'},
+               snf)
+    # drop the real defs so unpickling MUST go through the converter's stubs
+    for mod in ('sunerf.model.model', 'sunerf.rendering.emission', 'sunerf',
+                'sunerf.model', 'sunerf.rendering'):
+        _sys.modules.pop(mod, None)
+
+    from sunerf_tpu.utils.snf_converter import convert_snf
+    params, config = convert_snf(snf)
+    assert config['type'] == 'emission'
+    assert params['fine']['w_in'].shape == (84, 48)
+    assert params['fine']['w_h'].shape == (2, 48, 48)
+
+    # numerical parity: converted params through our field == torch forward
+    import jax.numpy as jnp
+    from sunerf_tpu.models.fields import NeRFConfig, nerf_apply
+    mc = NeRFConfig(**config['renderer_spec']['model_config'])
+    x = np.random.default_rng(0).normal(0, 1, (16, 4)).astype(np.float32)
+    ref = rendering.fine_model(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(nerf_apply(
+        mc, {k: jnp.asarray(v) for k, v in params['fine'].items()},
+        jnp.asarray(x)).raw)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
