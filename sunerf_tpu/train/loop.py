@@ -147,22 +147,30 @@ class Trainer:
         """Re-render the held-out view and score it (reference
         TestImageCallback, train/callback.py:30-58)."""
         params = jax.tree.map(np.asarray, self.state.params)
-        preds, targets = [], []
+        preds, targets, coarses, heights, absorptions = [], [], [], [], []
         for i in range(len(self.data.valid)):
             batch = self.data.valid[i]
             out = self.eval_fn(params, batch)
             preds.append(np.asarray(out['fine_image']))
+            coarses.append(np.asarray(out['coarse_image']))
+            heights.append(np.asarray(out['height_map']))
+            absorptions.append(np.asarray(out['absorption_map']))
             targets.append(batch['target_image'])
         pred = np.concatenate(preds)
         target = np.concatenate(targets)
+        coarse = np.concatenate(coarses)
+        height = np.concatenate(heights)
+        absorption = np.concatenate(absorptions)
 
         if self.loss_config.image_scaling == 'asinh':
             pred_s = np.asarray(image_asinh_scaling(
                 pred, self.loss_config.scaling_vmax, self.loss_config.scaling_a))
             target_s = np.asarray(image_asinh_scaling(
                 target, self.loss_config.scaling_vmax, self.loss_config.scaling_a))
+            coarse_s = np.asarray(image_asinh_scaling(
+                coarse, self.loss_config.scaling_vmax, self.loss_config.scaling_a))
         else:
-            pred_s, target_s = pred, target
+            pred_s, target_s, coarse_s = pred, target, coarse
 
         h, w = self.data.validation_shape
         n_ch = pred.shape[-1]
@@ -177,27 +185,42 @@ class Trainer:
             ssims.append(ssim_metric(p_img, t_img,
                                      data_range=float(t_img.max() - t_img.min() or 1)))
             if self.config.save_val_images:
-                self._save_val_image(p_img, t_img, step, c)
+                self._save_val_image(p_img, t_img, step, c,
+                                     coarse_s[:, c].reshape(h, w),
+                                     height.reshape(h, w),
+                                     absorption.reshape(h, w))
         if psnrs:
             val['val_psnr'] = float(np.mean(psnrs))
             val['val_ssim'] = float(np.mean(ssims))
         self.logger.log(val, step)
         return val
 
-    def _save_val_image(self, pred, target, step, channel):
+    def _save_val_image(self, pred, target, step, channel, coarse=None,
+                        height=None, absorption=None):
+        """6-panel validation figure (reference TestImageCallback,
+        train/callback.py:38-58): target / fine / coarse / |error| /
+        emission-height map / absorption map."""
         try:
             import matplotlib
             matplotlib.use('Agg')
             import matplotlib.pyplot as plt
         except Exception:
             return
-        fig, axs = plt.subplots(1, 2, figsize=(8, 4))
+        panels = [('target', target, 'afmhot'), ('fine', pred, 'afmhot')]
+        if coarse is not None:
+            panels.append(('coarse', coarse, 'afmhot'))
+        panels.append(('|error|', np.abs(pred - target), 'viridis'))
+        if height is not None:
+            panels.append(('height map', height, 'plasma'))
+        if absorption is not None:
+            panels.append(('absorption map', absorption, 'cividis'))
+        n = len(panels)
+        fig, axs = plt.subplots(1, n, figsize=(3 * n, 3.2))
         vmax = max(float(np.nanmax(target)), 1e-10)
-        axs[0].imshow(pred, cmap='afmhot', vmin=0, vmax=vmax, origin='lower')
-        axs[0].set_title('prediction')
-        axs[1].imshow(target, cmap='afmhot', vmin=0, vmax=vmax, origin='lower')
-        axs[1].set_title('target')
-        for ax in axs:
+        for ax, (title, img, cmap) in zip(np.atleast_1d(axs), panels):
+            kw = dict(vmin=0, vmax=vmax) if cmap == 'afmhot' else {}
+            ax.imshow(img, cmap=cmap, origin='lower', **kw)
+            ax.set_title(title, fontsize=9)
             ax.axis('off')
         path = os.path.join(self.workdir,
                             f'val_{step:08d}_ch{channel}.jpg')
