@@ -82,7 +82,8 @@ def _aia_degradation_correction(data, header):
 
 
 def prep_file(path: str, out_dir: str, instrument: str,
-              resolution: int | None = 1024, apply_norm: bool = True) -> str | None:
+              resolution: int | None = 1024, apply_norm: bool = True,
+              degradation_table=None) -> str | None:
     data, header = read_fits(path)
     data = remove_nans(data)
     obs = parse_observer(header)
@@ -92,7 +93,10 @@ def prep_file(path: str, out_dir: str, instrument: str,
         if header.get('QUALITY', 0) != 0:
             logger.warning('skip %s: QUALITY=%s', path, header.get('QUALITY'))
             return None
-        data = _aia_degradation_correction(data, header)
+        if degradation_table is not None and wl is not None:
+            data = degradation_table.correct(data, wl, obs.time)
+        else:
+            data = _aia_degradation_correction(data, header)
         norms = SDO_NORMS
     elif instrument == 'stereo':
         norms = SDO_NORMS  # ITI-converted SECCHI uses the AIA tables
@@ -129,13 +133,21 @@ def main(argv=None):
     parser.add_argument('--out', required=True, help='output directory')
     parser.add_argument('--resolution', type=int, default=1024)
     parser.add_argument('--no-norm', action='store_true')
+    parser.add_argument('--degradation-table', default=None,
+                        help='JSON degradation table (data/degradation.py); '
+                             'replaces the ITI/aiapy correction')
     args = parser.parse_args(argv)
+
+    table = None
+    if args.degradation_table:
+        from sunerf_tpu.data.degradation import DegradationTable
+        table = DegradationTable.from_json(args.degradation_table)
 
     files = sorted(glob.glob(args.files))
     done = 0
     for f in files:
         if prep_file(f, args.out, args.instrument, args.resolution,
-                     apply_norm=not args.no_norm):
+                     apply_norm=not args.no_norm, degradation_table=table):
             done += 1
     print(f'prepped {done}/{len(files)} files -> {args.out}')
 

@@ -141,3 +141,36 @@ def test_metrics_harness(tmp_path):
     assert result['train']['psnr'] > 40
     assert result['test']['psnr'] > 40
     assert abs(result['all']['me_percent']) < 1.0
+
+
+def test_degradation_table(tmp_path):
+    import json
+    from sunerf_tpu.data.degradation import DegradationTable
+    from sunerf_tpu.data.prep import prep_file
+    from sunerf_tpu.data.fits import read_fits
+    table = {'193': {'times': ['2012-01-01T00:00:00', '2013-01-01T00:00:00'],
+                     'factors': [1.0, 0.5]}}
+    p = tmp_path / 'deg.json'
+    p.write_text(json.dumps(table))
+    t = DegradationTable.from_json(str(p))
+    # midpoint: factor 0.75, correction divides by it
+    mid = datetime(2012, 7, 2, 0, 0)
+    assert abs(t.factor(193, mid) - 0.7493) < 0.01
+    corrected = t.correct(np.full((2, 2), 3.0), 193, datetime(2013, 1, 1))
+    np.testing.assert_allclose(corrected, 6.0)
+    # absent channel: identity
+    np.testing.assert_allclose(t.correct(np.ones((2, 2)), 304,
+                                         datetime(2012, 6, 1)), 1.0)
+
+    # through the prep CLI path
+    d, h = _disk_map(res=8)
+    h['WAVELNTH'] = 193
+    h['QUALITY'] = 0
+    h['DATE-OBS'] = '2013-01-01T00:00:00'
+    fits_path = str(tmp_path / 'aia.fits')
+    write_fits(fits_path, d * 4900.0, h)
+    out = prep_file(fits_path, str(tmp_path / 'out'), 'sdo', resolution=None,
+                    degradation_table=t)
+    data, _ = read_fits(out)
+    # 4900 / 0.5 (degradation) / 9800 (SDO 193 norm) = 1.0
+    np.testing.assert_allclose(data, 1.0, rtol=1e-5)
