@@ -24,8 +24,8 @@ from sunerf_tpu.parallel.mesh import replicate, shard_batch
 from sunerf_tpu.train.metrics import psnr as psnr_metric, ssim as ssim_metric
 from sunerf_tpu.train.objective import LossConfig
 from sunerf_tpu.train.optim import OptimConfig, make_optimizer
-from sunerf_tpu.train.step import (TrainState, create_train_state,
-                                   make_eval_step, make_train_step)
+from sunerf_tpu.train.step import (create_train_state, make_eval_step,
+                                   make_train_step)
 from sunerf_tpu.utils.checkpoint import (restore_train_checkpoint,
                                          save_state, save_train_checkpoint)
 from sunerf_tpu.utils.logging import MetricsLogger

@@ -9,8 +9,6 @@ with asinh image scaling on both prediction and target for the emission head
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 
 from sunerf_tpu.core.scaling import image_asinh_scaling
