@@ -92,8 +92,9 @@ def _dims_from_config(config) -> _Dims:
 
 
 def _freq_matrix(dims: _Dims) -> np.ndarray:
-    """[D, F*D] frequency-expansion matrix: (x @ K)[:, k*D+d] = x_d * f_k —
-    frequency-major, matching core/encoding.py."""
+    """[D, n_cols] frequency-expansion matrix: (x @ K) yields x_d * f_k in
+    frequency-major column order, matching core/encoding.py (time columns
+    beyond n_freqs_time are dropped)."""
     from sunerf_tpu.core.encoding import _column_mask
     mask = _column_mask(dims.d_input, dims.n_freqs, dims.n_freqs_time)
     K = np.zeros((dims.d_input, dims.n_cols), np.float32)
