@@ -143,24 +143,43 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------- validate
+    def _eval_chunked(self, params, batch):
+        """One jitted lax.map over [C, bs, ...] chunks — the whole held-out
+        view renders in a single dispatch + single host fetch (per-batch
+        loops cost a tunnel round trip each; see evaluation/loader.py)."""
+        def body(chunk):
+            out = self.renderer(params, chunk['rays'][:, 0], chunk['rays'][:, 1],
+                                chunk['time'], key=None,
+                                wavelengths=chunk.get('wavelength'))
+            return (out['fine_image'], out['coarse_image'],
+                    out['height_map'], out['absorption_map'])
+        return jax.lax.map(body, batch)
+
     def validate(self, step: int) -> dict:
         """Re-render the held-out view and score it (reference
         TestImageCallback, train/callback.py:30-58)."""
+        import jax.numpy as jnp
         params = jax.tree.map(np.asarray, self.state.params)
-        preds, targets, coarses, heights, absorptions = [], [], [], [], []
-        for i in range(len(self.data.valid)):
-            batch = self.data.valid[i]
-            out = self.eval_fn(params, batch)
-            preds.append(np.asarray(out['fine_image']))
-            coarses.append(np.asarray(out['coarse_image']))
-            heights.append(np.asarray(out['height_map']))
-            absorptions.append(np.asarray(out['absorption_map']))
-            targets.append(batch['target_image'])
-        pred = np.concatenate(preds)
-        target = np.concatenate(targets)
-        coarse = np.concatenate(coarses)
-        height = np.concatenate(heights)
-        absorption = np.concatenate(absorptions)
+        arrays = self.data.valid.arrays
+        n = next(iter(arrays.values())).shape[0]
+        bs = self.data.valid.batch_size
+        n_pad = (n + bs - 1) // bs * bs
+        chunked = {
+            k: jnp.asarray(np.pad(v, ((0, n_pad - n),) + ((0, 0),) * (v.ndim - 1))
+                           .reshape(n_pad // bs, bs, *v.shape[1:]))
+            for k, v in arrays.items()}
+        target_chunks = chunked.pop('target_image')
+        if not hasattr(self, '_eval_many'):
+            self._eval_many = jax.jit(self._eval_chunked)
+        fine, coarse, height, absorption = self._eval_many(params, chunked)
+
+        def flat(x):
+            return np.asarray(x).reshape(n_pad, -1)[:n]
+        pred = flat(fine)
+        coarse = flat(coarse)
+        target = np.asarray(target_chunks).reshape(n_pad, -1)[:n]
+        height = flat(height)[:, 0]
+        absorption = flat(absorption)[:, 0]
 
         if self.loss_config.image_scaling == 'asinh':
             pred_s = np.asarray(image_asinh_scaling(
