@@ -57,12 +57,12 @@ class ModelLoader:
                 self._render_batch, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                           P(DATA_AXIS)),
-                out_specs=P(DATA_AXIS)))
+                out_specs=P(DATA_AXIS), check_vma=False))
             self._render_many = jax.jit(jax.shard_map(
                 self._render_chunked, mesh=mesh,
                 in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS),
                           P(None, DATA_AXIS), P(None, DATA_AXIS)),
-                out_specs=P(None, DATA_AXIS)))
+                out_specs=P(None, DATA_AXIS), check_vma=False))
 
     def _render_batch(self, params, rays_o, rays_d, times, wavelengths):
         out = self.renderer(params, rays_o, rays_d, times, key=None,
