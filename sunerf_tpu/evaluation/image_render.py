@@ -58,9 +58,14 @@ def build_model_renderer(config: dict):
     if config.get('zero_absorption', True):
         # the reference SimpleStar/MHD log_abs tables (~20 per channel) render
         # black frames (kappa = rho * 20 is fully opaque at rho ~ 1e5-1e8);
-        # default to a transparent corona for training-set synthesis
+        # default to a transparent corona for training-set synthesis.
+        # Set BOTH passes explicitly: the rendered image comes from the fine
+        # pass, and relying on coarse/fine sharing one dict object would break
+        # silently under a deep copy or separate init.
         import jax.numpy as jnp
-        params['coarse']['log_abs'] = jnp.zeros(7)
+        params = dict(params)
+        params['coarse'] = dict(params['coarse'], log_abs=jnp.zeros(7))
+        params['fine'] = dict(params['fine'], log_abs=jnp.zeros(7))
     return renderer, params
 
 
@@ -89,7 +94,8 @@ def observers_from_config(config: dict) -> list[dict]:
 
 
 def frame_to_jpeg(path: str, image: np.ndarray):
-    """Log-normalized JPEG (reference frame_to_jpeg, image_render.py:38-91)."""
+    """Asinh-normalized JPEG (reference frame_to_jpeg, image_render.py:38-91,
+    which uses matplotlib log-norm; asinh handles zero-valued backgrounds)."""
     try:
         from PIL import Image
     except ImportError:

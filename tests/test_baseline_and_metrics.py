@@ -143,6 +143,22 @@ def test_metrics_harness(tmp_path):
     assert abs(result['all']['me_percent']) < 1.0
 
 
+def test_zero_absorption_sets_both_passes():
+    """zero_absorption must zero the FINE pass explicitly — the rendered image
+    comes from it — and must survive a deep copy (no reliance on coarse/fine
+    aliasing the same dict object)."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from sunerf_tpu.evaluation.image_render import build_model_renderer
+
+    _, params = build_model_renderer({'model': 'SimpleStar'})
+    params = copy.deepcopy(params)
+    assert float(jnp.abs(params['fine']['log_abs']).max()) == 0.0
+    assert float(jnp.abs(params['coarse']['log_abs']).max()) == 0.0
+
+
 def test_degradation_table(tmp_path):
     import json
     from sunerf_tpu.data.degradation import DegradationTable
