@@ -2,8 +2,10 @@
 
 Supports what the SuNeRF data layer needs: plain image HDUs (primary +
 IMAGE extensions), BITPIX 8/16/32/64/-32/-64, BSCALE/BZERO, header
-round-tripping. Compressed (Rice/BINTABLE) HDUs are detected and rejected
-with a clear error.
+round-tripping, and tile-compressed (ZIMAGE) extensions with RICE_1 (native
+C++ decoder, sunerf_tpu/native) or GZIP_1/GZIP_2 tiles — JSOC exports and
+SECCHI archives are routinely Rice-compressed. Unknown compressions are
+rejected with a clear error.
 
 The reference reads/writes FITS exclusively through sunpy/astropy
 (sunerf/data/utils.py, data/prep/*.py, evaluation/image_render.py:93-144);
@@ -103,10 +105,175 @@ def _data_size(header: Header) -> int:
     naxis = header.get('NAXIS', 0)
     if naxis == 0:
         return 0
-    n = abs(header['BITPIX']) // 8
+    n = 1
     for i in range(1, naxis + 1):
         n *= header[f'NAXIS{i}']
-    return n
+    # standard FITS size formula; PCOUNT covers the bintable heap
+    return (abs(header['BITPIX']) // 8) * header.get('GCOUNT', 1) * (
+        header.get('PCOUNT', 0) + n)
+
+
+# ------------------------------------------------- tiled-image decompression
+
+_TFORM_RE = re.compile(r'^(\d*)([PQ]?)([LXBIJKAEDCM])')
+_TFORM_SIZES = {'L': 1, 'X': 1, 'B': 1, 'I': 2, 'J': 4, 'K': 8, 'A': 1,
+                'E': 4, 'D': 8, 'C': 8, 'M': 16}
+
+
+def _bintable_columns(header: Header) -> dict:
+    """TTYPE -> (byte offset in row, descriptor ''/'P'/'Q', base code)."""
+    cols, offset = {}, 0
+    for j in range(1, header.get('TFIELDS', 0) + 1):
+        m = _TFORM_RE.match(str(header[f'TFORM{j}']).strip())
+        if not m:
+            raise ValueError(f'bad TFORM{j}: {header[f"TFORM{j}"]!r}')
+        repeat = int(m.group(1)) if m.group(1) else 1
+        desc, code = m.group(2), m.group(3)
+        name = str(header.get(f'TTYPE{j}', f'COL{j}')).strip().upper()
+        cols[name] = (offset, desc, code)
+        offset += repeat * (8 if desc == 'P' else 16 if desc == 'Q'
+                            else _TFORM_SIZES[code])
+    return cols
+
+
+def _heap_slice(row: bytes, col, heap: bytes) -> bytes:
+    """Variable-length array bytes for one row's P/Q descriptor column."""
+    offset, desc, code = col
+    if desc == 'Q':
+        n, off = np.frombuffer(row, '>i8', count=2, offset=offset)
+    else:
+        n, off = np.frombuffer(row, '>i4', count=2, offset=offset)
+    return heap[off:off + int(n) * _TFORM_SIZES[code]]
+
+
+def _scalar_at(row: bytes, col) -> float:
+    offset, _, code = col
+    return float(np.frombuffer(row, {'E': '>f4', 'D': '>f8', 'J': '>i4',
+                                     'K': '>i8', 'I': '>i2'}[code],
+                               count=1, offset=offset)[0])
+
+
+def _decompress_tiled(header: Header, raw: bytes, path: str):
+    """Decompress a ZIMAGE bintable HDU into (image array, image header) —
+    the FITS tiled-image convention (RICE_1 / GZIP_1 / GZIP_2 / NOCOMPRESS).
+    The reference reads these through astropy (sunerf/data/utils.py:54-71)."""
+    from sunerf_tpu.native import rice_decode
+
+    naxis1, nrows = header['NAXIS1'], header['NAXIS2']
+    theap = header.get('THEAP', naxis1 * nrows)
+    heap = raw[theap:]
+    cols = _bintable_columns(header)
+
+    zbitpix = header['ZBITPIX']
+    znaxis = header['ZNAXIS']
+    zdims = [header[f'ZNAXIS{i}'] for i in range(1, znaxis + 1)]  # ax1 first
+    ztile = [header.get(f'ZTILE{i}', zdims[0] if i == 1 else 1)
+             for i in range(1, znaxis + 1)]
+    ntiles = [-(-d // t) for d, t in zip(zdims, ztile)]
+    if int(np.prod(ntiles)) != nrows:
+        raise ValueError(f'{path}: tile grid {ntiles} != NAXIS2 {nrows}')
+
+    zvals = {}
+    k = 1
+    while f'ZNAME{k}' in header:
+        zvals[str(header[f'ZNAME{k}']).strip().upper()] = header.get(f'ZVAL{k}')
+        k += 1
+    zcmptype = str(header.get('ZCMPTYPE', 'RICE_1')).strip().upper()
+    if zcmptype not in ('RICE_1', 'RICE_ONE', 'GZIP_1', 'GZIP_2',
+                        'NOCOMPRESS'):
+        raise NotImplementedError(
+            f'{path}: ZCMPTYPE {zcmptype!r} not supported (RICE_1/GZIP only)')
+    blocksize = int(zvals.get('BLOCKSIZE', 32))
+    bytepix = int(zvals.get('BYTEPIX', 4 if zbitpix < 0 else abs(zbitpix) // 8))
+
+    int_dtype = {8: '>u1', 16: '>i2', 32: '>i4', 64: '>i8',
+                 -32: '>f4', -64: '>f8'}[zbitpix]
+    quantized = zbitpix < 0 and ('ZSCALE' in cols or 'ZZERO' in cols
+                                 or 'ZSCALE' in header)
+    out_dtype = np.float64 if (quantized or zbitpix < 0) else \
+        _BITPIX_DTYPES[zbitpix].newbyteorder('=')
+    out = np.zeros(tuple(reversed(zdims)), out_dtype)
+
+    for r in range(nrows):
+        row = raw[r * naxis1:(r + 1) * naxis1]
+        # tile coordinates: first FITS axis varies fastest
+        rem, coords = r, []
+        for n in ntiles:
+            coords.append(rem % n)
+            rem //= n
+        lens = [min(t, d - c * t) for c, t, d in zip(coords, ztile, zdims)]
+        npix = int(np.prod(lens))
+
+        tile = None
+        cdata = _heap_slice(row, cols['COMPRESSED_DATA'], heap) \
+            if 'COMPRESSED_DATA' in cols else b''
+        if cdata and zcmptype in ('RICE_1', 'RICE_ONE'):
+            tile = rice_decode(cdata, npix, bytepix, blocksize)
+        elif cdata and zcmptype in ('GZIP_1', 'GZIP_2'):
+            tile = _gunzip_tile(cdata, npix, int_dtype, zcmptype)
+        elif cdata and zcmptype == 'NOCOMPRESS':
+            tile = np.frombuffer(cdata, int_dtype, count=npix)
+        elif 'GZIP_COMPRESSED_DATA' in cols:
+            gz = _heap_slice(row, cols['GZIP_COMPRESSED_DATA'], heap)
+            if gz:
+                tile = _gunzip_tile(gz, npix, int_dtype, 'GZIP_1')
+        if tile is None and 'UNCOMPRESSED_DATA' in cols:
+            un = _heap_slice(row, cols['UNCOMPRESSED_DATA'], heap)
+            if un:
+                tile = np.frombuffer(un, int_dtype, count=npix)
+        if tile is None:
+            raise ValueError(f'{path}: tile {r} has no compressed data')
+
+        if quantized and tile.dtype.kind != 'f':
+            zscale = _scalar_at(row, cols['ZSCALE']) if 'ZSCALE' in cols \
+                else float(header.get('ZSCALE', 1.0))
+            zzero = _scalar_at(row, cols['ZZERO']) if 'ZZERO' in cols \
+                else float(header.get('ZZERO', 0.0))
+            tile = tile * zscale + zzero
+
+        idx = tuple(slice(c * t, c * t + n)
+                    for c, t, n in zip(coords, ztile, lens))[::-1]
+        out[idx] = tile.reshape(tuple(reversed(lens)))
+
+    img_header = Header()
+    skip = {'XTENSION', 'BITPIX', 'NAXIS', 'PCOUNT', 'GCOUNT', 'TFIELDS',
+            'THEAP', 'ZIMAGE', 'ZCMPTYPE', 'ZBITPIX', 'ZNAXIS', 'ZQUANTIZ',
+            'ZDITHER0', 'ZSIMPLE', 'ZTENSION', 'ZEXTEND', 'ZPCOUNT',
+            'ZGCOUNT', 'ZHECKSUM', 'ZDATASUM'}
+    for key, value in header.cards.items():
+        if key in skip or re.match(r'^(NAXIS|ZNAXIS|ZTILE|ZNAME|ZVAL|TTYPE|'
+                                   r'TFORM|TUNIT|TDIM|TSCAL|TZERO)\d+$', key):
+            continue
+        img_header[key] = value
+    img_header['BITPIX'] = zbitpix
+    img_header['NAXIS'] = znaxis
+    for i, d in enumerate(zdims, start=1):
+        img_header[f'NAXIS{i}'] = d
+
+    bscale = img_header.get('BSCALE', 1)
+    bzero = img_header.get('BZERO', 0)
+    if bscale != 1 or bzero != 0:
+        out = out.astype(np.float64) * bscale + bzero
+    return np.ascontiguousarray(out), img_header
+
+
+def _gunzip_tile(data: bytes, npix: int, int_dtype: str,
+                 zcmptype: str) -> np.ndarray:
+    import zlib
+    buf = zlib.decompressobj(32 + 15).decompress(data)
+    itemsize = np.dtype(int_dtype).itemsize
+    if len(buf) < npix * itemsize:
+        # gzip fallback tiles may hold smaller ints than ZBITPIX
+        itemsize = len(buf) // npix
+        int_dtype = int_dtype[0] + ('i' if int_dtype[1] != 'u' else 'u') + \
+            str(itemsize)
+    arr = np.frombuffer(buf, int_dtype, count=npix)
+    if zcmptype == 'GZIP_2':
+        # byte-shuffled: all MSBs first, then next byte plane, ...
+        shuffled = np.frombuffer(buf[:npix * itemsize], np.uint8)
+        arr = shuffled.reshape(itemsize, npix).T.copy().view(
+            int_dtype).reshape(npix)
+    return arr
 
 
 def read_fits(path: str, hdu: int | None = None):
@@ -132,13 +299,9 @@ def read_fits(path: str, hdu: int | None = None):
         data = None
         if nbytes:
             if header.get('XTENSION', '').strip() == 'BINTABLE':
-                ttypes = [str(header.get(f'TTYPE{i}', ''))
-                          for i in range(1, header.get('TFIELDS', 0) + 1)]
-                if any('COMPRESSED' in t.upper() for t in ttypes) \
-                        or 'ZIMAGE' in header:
-                    raise NotImplementedError(
-                        f'{path}: tile-compressed FITS not supported; '
-                        'decompress offline (e.g. funpack) first')
+                if header.get('ZIMAGE'):
+                    data, header = _decompress_tiled(
+                        header, buf[offset:offset + nbytes], path)
             else:
                 dtype = _BITPIX_DTYPES[header['BITPIX']]
                 shape = tuple(header[f'NAXIS{i}']

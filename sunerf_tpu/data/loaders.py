@@ -108,7 +108,20 @@ def p_key(name: str) -> str:
             'wavelengths': 'wavelength'}[name]
 
 
-def build_single_channel_data(data_path: str, working_dir: str,
+def _load_maps(files: list[str], Rs_per_ds: float,
+               n_workers: int | None) -> list[dict]:
+    if n_workers is None:
+        n_workers = min(os.cpu_count() or 1, len(files))
+    if n_workers > 1:
+        import functools
+        import multiprocessing
+        with multiprocessing.Pool(n_workers) as pool:
+            return pool.map(functools.partial(load_map_data,
+                                              Rs_per_ds=Rs_per_ds), files)
+    return [load_map_data(f, Rs_per_ds) for f in files]
+
+
+def build_single_channel_data(data_path, working_dir: str,
                               Rs_per_ds: float = 1.0,
                               seconds_per_dt: float = 86400.0,
                               ref_time: Optional[datetime] = None,
@@ -120,55 +133,91 @@ def build_single_channel_data(data_path: str, working_dir: str,
     """Emission-head pipeline: all pixels of all maps flattened to rays, one
     held-out validation image at index len//6, global shuffle, npy shards.
 
+    data_path may be one glob string, or a {name: glob} dict (or list of
+    globs) naming multiple datasets of unequal size — smaller datasets are
+    then resampled *with replacement* up to the largest so every training
+    step sees all sources in equal proportion (the reference's multi-dataset
+    multiplexing, base_loader.py:44-55: RandomSampler(replacement=True,
+    num_samples=len(ref_dataset)) on every non-reference loader). Per-ray
+    provenance ids are kept in extras['dataset_ids_path'] / the saved
+    dataset_ids_batches.npy for balance checks; the held-out validation image
+    comes from the largest (reference) dataset.
+
     batch_size is per-chip; the global batch is batch_size * n_devices
     (reference single_channel.py:67-68 scaled by N_GPUS). n_workers > 1
     fans FITS loading out over processes (reference base_loader.py:72-74)."""
-    files = sorted(glob.glob(data_path))
-    if not files:
-        raise FileNotFoundError(f'no FITS files match {data_path}')
-    if debug:
-        files = files[::10]
-
-    if n_workers is None:
-        n_workers = min(os.cpu_count() or 1, len(files))
-    if n_workers > 1:
-        import functools
-        import multiprocessing
-        with multiprocessing.Pool(n_workers) as pool:
-            maps = pool.map(functools.partial(load_map_data,
-                                              Rs_per_ds=Rs_per_ds), files)
+    if isinstance(data_path, dict):
+        source_globs = dict(data_path)
+    elif isinstance(data_path, (list, tuple)):
+        source_globs = {f'dataset_{i}': g for i, g in enumerate(data_path)}
     else:
-        maps = [load_map_data(f, Rs_per_ds) for f in files]
-    if len(maps) < 2:
-        raise ValueError(
-            f'need >= 2 maps (one is held out for validation); '
-            f'{data_path} matched {len(maps)}')
-    o_times = [m['time'] for m in maps]
+        source_globs = {'tracing': data_path}
+
+    source_files = {}
+    for name, pattern in source_globs.items():
+        files = sorted(glob.glob(pattern))
+        if debug:
+            files = files[::10]
+        if not files:
+            raise FileNotFoundError(f'no FITS files match {pattern!r} '
+                                    f'(dataset {name!r})')
+        source_files[name] = files
+
+    all_files = [f for fs in source_files.values() for f in fs]
+    all_maps = _load_maps(all_files, Rs_per_ds, n_workers)
+    maps_by_source, i = {}, 0
+    for name, fs in source_files.items():
+        maps_by_source[name] = all_maps[i:i + len(fs)]
+        i += len(fs)
+
+    o_times = [m['time'] for m in all_maps]
     ref_time = ref_time or min(o_times)
-    times = np.asarray([normalize_datetime(t, seconds_per_dt, ref_time)
-                        for t in o_times], np.float32)
 
-    images = np.stack([m['image'] for m in maps])          # [M, H, W]
-    rays = np.stack([m['all_rays'] for m in maps])         # [M, H*W, 2, 3]
+    def flatten(maps_sel):
+        r = np.concatenate([m['all_rays'] for m in maps_sel])
+        t = np.concatenate([
+            np.full((m['all_rays'].shape[0], 1),
+                    normalize_datetime(m['time'], seconds_per_dt, ref_time),
+                    np.float32) for m in maps_sel])
+        im = np.concatenate([m['image'].reshape(-1, 1) for m in maps_sel])
+        return r, t, im.astype(np.float32)
 
-    test_idx = len(images) // 6
-    mask = np.ones(len(images), bool)
-    mask[test_idx] = False
-
-    def flatten(sel):
-        r = rays[sel].reshape(-1, 2, 3)
-        t = (np.ones_like(images[sel]) * times[sel][:, None, None]).reshape(-1, 1)
-        im = images[sel].reshape(-1, 1)
-        return r, t.astype(np.float32), im.astype(np.float32)
-
-    valid_rays, valid_times, valid_images = flatten(~mask)
-    train_rays, train_times, train_images = flatten(mask)
+    # reference dataset = the one with the most maps; its len//6 image is the
+    # held-out validation view (reference single_channel.py:35-39)
+    ref_name = max(maps_by_source, key=lambda k: len(maps_by_source[k]))
+    ref_maps = maps_by_source[ref_name]
+    if len(ref_maps) < 2:
+        raise ValueError(
+            f'need >= 2 maps in the largest dataset (one is held out for '
+            f'validation); {source_globs[ref_name]!r} matched {len(ref_maps)}')
+    test_idx = len(ref_maps) // 6
+    valid_rays, valid_times, valid_images = flatten([ref_maps[test_idx]])
 
     rng = np.random.default_rng(seed)
+    per_source, ids = [], []
+    n_ref = sum(m['all_rays'].shape[0] for i, m in enumerate(ref_maps)
+                if i != test_idx)
+    for src_id, (name, maps_sel) in enumerate(maps_by_source.items()):
+        if name == ref_name:
+            maps_sel = [m for i, m in enumerate(maps_sel) if i != test_idx]
+        r, t, im = flatten(maps_sel)
+        if name != ref_name and r.shape[0] != n_ref:
+            idx = rng.integers(0, r.shape[0], n_ref)
+            r, t, im = r[idx], t[idx], im[idx]
+        per_source.append((r, t, im))
+        ids.append(np.full(r.shape[0], src_id, np.int16))
+
+    train_rays = np.concatenate([s[0] for s in per_source])
+    train_times = np.concatenate([s[1] for s in per_source])
+    train_images = np.concatenate([s[2] for s in per_source])
+    train_ids = np.concatenate(ids)
+
     perm = rng.permutation(train_rays.shape[0])
     shard_paths = _save_shards(working_dir, {
         'rays': train_rays[perm], 'times': train_times[perm],
         'images': train_images[perm]})
+    ids_path = os.path.join(working_dir, 'dataset_ids_batches.npy')
+    np.save(ids_path, train_ids[perm])
 
     global_batch = int(batch_size) * int(n_devices)
     train_ds = MmapDataset(shard_paths, batch_size=global_batch)
@@ -179,13 +228,17 @@ def build_single_channel_data(data_path: str, working_dir: str,
     config = {'type': 'emission', 'Rs_per_ds': Rs_per_ds,
               'seconds_per_dt': seconds_per_dt,
               'ref_time': ref_time.isoformat(),
-              'resolution': list(maps[0]['image'].shape),
-              'wavelength': maps[0]['wavelength'],
-              'times': [t.isoformat() for t in o_times]}
+              'resolution': list(ref_maps[0]['image'].shape),
+              'wavelength': ref_maps[0]['wavelength'],
+              'times': [t.isoformat() for t in o_times],
+              'datasets': {name: len(maps_sel)
+                           for name, maps_sel in maps_by_source.items()}}
     return RayData(train=train_ds, valid=valid_ds, config=config,
                    ref_time=ref_time, Rs_per_ds=Rs_per_ds,
                    seconds_per_dt=seconds_per_dt,
-                   validation_shape=tuple(maps[0]['image'].shape))
+                   validation_shape=tuple(ref_maps[0]['image'].shape),
+                   extras={'dataset_ids_path': ids_path,
+                           'dataset_names': list(maps_by_source)})
 
 
 # ------------------------------------------------------------- multi-thermal

@@ -120,6 +120,42 @@ def test_single_channel_builder(tmp_path):
     assert not os.path.exists(list(data.train.batch_files.values())[0])
 
 
+def test_balanced_multi_dataset(tmp_path):
+    """Two datasets of unequal size (30 vs 3 views) train with equal per-step
+    representation: the smaller one is resampled with replacement to the
+    larger (reference base_loader.py:44-55)."""
+    res = 8
+    big, small = tmp_path / 'sdo', tmp_path / 'secchi'
+    big.mkdir(), small.mkdir()
+    for i in range(30):
+        _synthetic_fits(str(big / f'map_{i:02d}.fits'), lon=i * 12.0, res=res,
+                        time=datetime(2012, 8, 1 + i % 27))
+    for i in range(3):
+        _synthetic_fits(str(small / f'map_{i}.fits'), lon=i * 120.0, lat=-5.0,
+                        res=res, time=datetime(2012, 8, 2 + i))
+
+    data = build_single_channel_data(
+        {'sdo': str(big / '*.fits'), 'secchi': str(small / '*.fits')},
+        str(tmp_path / 'work'), batch_size=64, n_devices=1)
+
+    assert data.config['datasets'] == {'sdo': 30, 'secchi': 3}
+    # 29 training sdo maps (one held out) x 64 px per source after resampling
+    n_ref = 29 * res * res
+    ids = np.load(data.extras['dataset_ids_path'])
+    assert ids.shape[0] == 2 * n_ref
+    assert (ids == 0).sum() == n_ref and (ids == 1).sum() == n_ref
+    # per-batch provenance is ~50/50 after the global shuffle
+    first = ids[:data.train.batch_size]
+    frac = (first == 1).mean()
+    assert 0.3 < frac < 0.7
+
+    # single-glob path unchanged: no resampling, one dataset
+    single = build_single_channel_data(str(big / '*.fits'),
+                                       str(tmp_path / 'work2'), batch_size=16)
+    sids = np.load(single.extras['dataset_ids_path'])
+    assert (sids == 0).all() and sids.shape[0] == n_ref
+
+
 def test_multi_thermal_builder(tmp_path):
     root = tmp_path / 'mt'
     res = 8

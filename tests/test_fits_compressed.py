@@ -1,0 +1,254 @@
+"""Tile-compressed FITS reads: RICE_1 (native C++ decoder + Python fallback),
+GZIP_1, and quantized floats with per-tile ZSCALE/ZZERO.
+
+The compressor lives HERE, in the test, written independently from the
+decoder (sunerf_tpu/native/rice.cpp) so the two implementations check each
+other. The reference relies on astropy for these reads
+(sunerf/data/utils.py:54-71); JSOC exports and SECCHI archives are routinely
+Rice-compressed."""
+import zlib
+
+import numpy as np
+import pytest
+
+from sunerf_tpu.data.fits import BLOCK, CARD, read_fits, write_fits
+
+_RICE_PARAMS = {1: (3, 6), 2: (4, 14), 4: (5, 25)}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def bytes(self):
+        if self.n:
+            pad = 8 - self.n
+            return bytes(self.out) + bytes([(self.acc << pad) & 0xFF])
+        return bytes(self.out)
+
+
+def rice_compress(pixels: np.ndarray, bytepix: int = 2,
+                  nblock: int = 32) -> bytes:
+    """Independent RICE_1 encoder: seed pixel, then per block a split
+    position fs (or the verbatim escape) and folded first differences."""
+    fsbits, fsmax = _RICE_PARAMS[bytepix]
+    bbits = bytepix * 8
+    mask = (1 << bbits) - 1
+    half = 1 << (bbits - 1)
+    w = _BitWriter()
+
+    vals = [int(v) & mask for v in np.asarray(pixels).ravel()]
+    w.put(vals[0], bbits)
+    last = vals[0]
+    for start in range(0, len(vals), nblock):
+        block = vals[start:start + nblock]
+        codes = []
+        for v in block:
+            delta = (v - last) & mask
+            if delta >= half:
+                delta -= 1 << bbits  # signed wrap
+            codes.append(2 * delta if delta >= 0 else -2 * delta - 1)
+            last = v
+        if max(codes) == 0:
+            w.put(0, fsbits)  # zero-entropy block
+            continue
+        # split so the unary part stays short; fall back to verbatim
+        fs = max(0, max(codes).bit_length() - 3)
+        if fs >= fsmax or max(c >> fs for c in codes) > 24:
+            w.put(fsmax + 1, fsbits)
+            for c in codes:
+                w.put(c, bbits)
+        else:
+            w.put(fs + 1, fsbits)
+            for c in codes:
+                w.put(1, (c >> fs) + 1)  # unary: zeros then a 1
+                if fs:
+                    w.put(c & ((1 << fs) - 1), fs)
+    return w.bytes()
+
+
+def _card(key, value, string=False):
+    if string:
+        body = f"'{value:<8}'"
+    elif isinstance(value, bool):
+        body = f"{'T' if value else 'F':>20}"
+    elif isinstance(value, float):
+        body = f'{value:>20.13G}'
+    else:
+        body = f'{value:>20}'
+    return f'{key:<8}= {body}'.ljust(CARD).encode()
+
+
+def _pad(b: bytes) -> bytes:
+    return b + b'\0' * (-len(b) % BLOCK)
+
+
+def write_tile_compressed(path, image, zcmptype='RICE_1', bytepix=None,
+                          tile_rows=1, quantize=None, extra_cards=()):
+    """Test-side writer of a ZIMAGE bintable FITS: one tile per `tile_rows`
+    image rows, optional float quantization with per-tile ZSCALE/ZZERO."""
+    image = np.asarray(image)
+    h, wdt = image.shape
+    if quantize is None:
+        zbitpix = {np.dtype(np.int16): 16, np.dtype(np.int32): 32,
+                   np.dtype(np.uint8): 8}[image.dtype]
+        bytepix = bytepix or image.dtype.itemsize
+    else:
+        zbitpix = -32
+        bytepix = 4
+
+    tiles, scales = [], []
+    for r0 in range(0, h, tile_rows):
+        tile = image[r0:r0 + tile_rows]
+        if quantize is not None:
+            zzero = float(tile.min())
+            zscale = float(quantize)
+            ints = np.round((tile.astype(np.float64) - zzero)
+                            / zscale).astype(np.int32)
+            scales.append((zscale, zzero))
+            tile = ints
+        if zcmptype == 'RICE_1':
+            tiles.append(rice_compress(tile, bytepix))
+        elif zcmptype == 'GZIP_1':
+            be = tile.astype(f'>i{tile.dtype.itemsize}')
+            tiles.append(zlib.compress(be.tobytes()))
+        else:
+            raise ValueError(zcmptype)
+
+    # heap: concatenated var-length arrays; table rows: P descriptor (+ D,D)
+    heap = bytearray()
+    rows = bytearray()
+    for i, t in enumerate(tiles):
+        rows += np.asarray([len(t), len(heap)], '>i4').tobytes()
+        if quantize is not None:
+            rows += np.asarray(scales[i], '>f8').tobytes()
+        heap += t
+    naxis1 = 8 + (16 if quantize is not None else 0)
+
+    cards = [
+        _card('XTENSION', 'BINTABLE', string=True),
+        _card('BITPIX', 8), _card('NAXIS', 2),
+        _card('NAXIS1', naxis1), _card('NAXIS2', len(tiles)),
+        _card('PCOUNT', len(heap)), _card('GCOUNT', 1),
+        _card('TFIELDS', 3 if quantize is not None else 1),
+        _card('TTYPE1', 'COMPRESSED_DATA', string=True),
+        _card('TFORM1', '1PB(%d)' % max(map(len, tiles)), string=True),
+    ]
+    if quantize is not None:
+        cards += [_card('TTYPE2', 'ZSCALE', string=True),
+                  _card('TFORM2', '1D', string=True),
+                  _card('TTYPE3', 'ZZERO', string=True),
+                  _card('TFORM3', '1D', string=True)]
+    cards += [
+        _card('ZIMAGE', True), _card('ZCMPTYPE', zcmptype, string=True),
+        _card('ZBITPIX', zbitpix), _card('ZNAXIS', 2),
+        _card('ZNAXIS1', wdt), _card('ZNAXIS2', h),
+        _card('ZTILE1', wdt), _card('ZTILE2', tile_rows),
+        _card('ZNAME1', 'BLOCKSIZE', string=True), _card('ZVAL1', 32),
+        _card('ZNAME2', 'BYTEPIX', string=True), _card('ZVAL2', bytepix),
+    ]
+    for k, v in extra_cards:
+        cards.append(_card(k, v, string=isinstance(v, str)))
+    cards.append(b'END'.ljust(CARD))
+
+    primary = _pad(b''.join([_card('SIMPLE', True), _card('BITPIX', 8),
+                             _card('NAXIS', 0), _card('EXTEND', True),
+                             b'END'.ljust(CARD)]))
+    ext_header = _pad(b''.join(cards))
+    data = _pad(bytes(rows) + bytes(heap))
+    with open(path, 'wb') as f:
+        f.write(primary + ext_header + data)
+
+
+@pytest.fixture
+def image16():
+    rng = np.random.default_rng(3)
+    base = (rng.normal(1000, 40, (37, 64))).astype(np.int16)
+    base[5:9, 10:30] = 12000  # bright active region: large diffs
+    base[20] = base[20, 0]    # constant row: zero-entropy blocks
+    return base
+
+
+def test_rice_roundtrip_int16(tmp_path, image16):
+    p = str(tmp_path / 'rice16.fits')
+    write_tile_compressed(p, image16, extra_cards=(('WAVELNTH', 193),
+                                                   ('BZERO', 0)))
+    data, header = read_fits(p)
+    np.testing.assert_array_equal(data, image16)
+    assert header['WAVELNTH'] == 193
+    assert header['NAXIS1'] == 64 and header['NAXIS2'] == 37
+
+
+def test_rice_matches_uncompressed_twin(tmp_path, image16):
+    """A compressed file and its plain twin read back identically."""
+    plain, packed = str(tmp_path / 'a.fits'), str(tmp_path / 'b.fits')
+    write_fits(plain, image16.astype(np.int32))
+    write_tile_compressed(packed, image16.astype(np.int32), bytepix=4,
+                          tile_rows=7)
+    d_plain, _ = read_fits(plain)
+    d_packed, _ = read_fits(packed)
+    np.testing.assert_array_equal(d_packed, d_plain)
+
+
+def test_rice_bzero_int16_unsigned(tmp_path, image16):
+    """JSOC-style unsigned-int16 via BZERO=32768 applies after decompression."""
+    p = str(tmp_path / 'rice_bzero.fits')
+    write_tile_compressed(p, image16, extra_cards=(('BZERO', 32768.0),))
+    data, _ = read_fits(p)
+    np.testing.assert_allclose(data, image16.astype(np.float64) + 32768.0)
+
+
+def test_gzip1_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    img = rng.integers(-500, 4000, (16, 24)).astype(np.int32)
+    p = str(tmp_path / 'gz.fits')
+    write_tile_compressed(p, img, zcmptype='GZIP_1', tile_rows=4)
+    data, _ = read_fits(p)
+    np.testing.assert_array_equal(data, img)
+
+
+def test_rice_quantized_float(tmp_path):
+    """Float image quantized with per-tile ZSCALE/ZZERO columns."""
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0.0, 1.0, (12, 32)).astype(np.float32) * 50.0
+    p = str(tmp_path / 'q.fits')
+    write_tile_compressed(p, img, quantize=0.01, tile_rows=3)
+    data, header = read_fits(p)
+    assert data.dtype.kind == 'f'
+    np.testing.assert_allclose(data, img, atol=0.0051)
+    assert header['BITPIX'] == -32
+
+
+def test_python_fallback_matches_native(image16):
+    """The pure-Python decoder and the C++ decoder agree bit-for-bit."""
+    from sunerf_tpu import native
+    stream = rice_compress(image16, bytepix=2)
+    npix = image16.size
+    py = native._rice_decode_py(stream, npix, 2, 32)
+    lib = native._load_library()
+    if lib is None:
+        pytest.skip('no native toolchain')
+    nat = native.rice_decode(stream, npix, 2, 32)
+    np.testing.assert_array_equal(py, nat)
+    np.testing.assert_array_equal(nat, image16.ravel())
+
+
+@pytest.mark.parametrize('bytepix', [1, 2, 4])
+def test_rice_bytepix_widths(bytepix):
+    from sunerf_tpu.native import rice_decode
+    rng = np.random.default_rng(bytepix)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[bytepix]
+    lo, hi = (0, 255) if bytepix == 1 else (-2000, 2000)
+    pix = rng.integers(lo, hi, 301).astype(dtype)
+    out = rice_decode(rice_compress(pix, bytepix), 301, bytepix)
+    np.testing.assert_array_equal(out, pix)
