@@ -84,6 +84,10 @@ def _aia_degradation_correction(data, header):
 def prep_file(path: str, out_dir: str, instrument: str,
               resolution: int | None = 1024, apply_norm: bool = True,
               degradation_table=None) -> str | None:
+    """degradation_table: a data.degradation.DegradationTable, the default
+    packaged AIA table when None, or False to skip the correction (the
+    ITI/aiapy path is then tried, matching reference loadAIAMap,
+    data/utils.py:28-51)."""
     data, header = read_fits(path)
     data = remove_nans(data)
     obs = parse_observer(header)
@@ -93,7 +97,10 @@ def prep_file(path: str, out_dir: str, instrument: str,
         if header.get('QUALITY', 0) != 0:
             logger.warning('skip %s: QUALITY=%s', path, header.get('QUALITY'))
             return None
-        if degradation_table is not None and wl is not None:
+        if degradation_table is None:
+            from sunerf_tpu.data.degradation import DegradationTable
+            degradation_table = DegradationTable.default()
+        if degradation_table is not False and wl is not None:
             data = degradation_table.correct(data, wl, obs.time)
         else:
             data = _aia_degradation_correction(data, header)
@@ -135,10 +142,12 @@ def main(argv=None):
     parser.add_argument('--no-norm', action='store_true')
     parser.add_argument('--degradation-table', default=None,
                         help='JSON degradation table (data/degradation.py); '
-                             'replaces the ITI/aiapy correction')
+                             'default: the packaged approximate AIA table')
+    parser.add_argument('--no-degradation', action='store_true',
+                        help='skip the table correction (tries ITI/aiapy)')
     args = parser.parse_args(argv)
 
-    table = None
+    table = False if args.no_degradation else None
     if args.degradation_table:
         from sunerf_tpu.data.degradation import DegradationTable
         table = DegradationTable.from_json(args.degradation_table)

@@ -190,3 +190,36 @@ def test_degradation_table(tmp_path):
     data, _ = read_fits(out)
     # 4900 / 0.5 (degradation) / 9800 (SDO 193 norm) = 1.0
     np.testing.assert_allclose(data, 1.0, rtol=1e-5)
+
+
+def test_default_degradation_table():
+    """The packaged AIA table: sane launch anchor, monotone decline, steep
+    304 Å vs slow 171 Å, and prep sdo applies it by default."""
+    from sunerf_tpu.data.degradation import DegradationTable
+    t = DegradationTable.default()
+    assert set(t.channels) == {94, 131, 171, 193, 211, 304, 335}
+    launch, mid12, late15 = (datetime(2010, 5, 3), datetime(2012, 7, 1),
+                             datetime(2015, 12, 1))
+    for wl in t.channels:
+        assert 0.97 <= t.factor(wl, launch) <= 1.0
+        assert t.factor(wl, late15) < t.factor(wl, mid12) < t.factor(wl, launch)
+    assert t.factor(304, mid12) < 0.5 < t.factor(171, mid12)
+    # published 2012 anchors (a few percent)
+    assert abs(t.factor(171, datetime(2012, 1, 1)) - 0.95) < 0.03
+    assert abs(t.factor(193, datetime(2012, 1, 1)) - 0.92) < 0.03
+
+
+def test_prep_sdo_uses_default_table(tmp_path):
+    from sunerf_tpu.data.degradation import DegradationTable
+    from sunerf_tpu.data.fits import read_fits
+    from sunerf_tpu.data.prep import prep_file
+    d, h = _disk_map(res=8)
+    h['WAVELNTH'] = 193
+    h['QUALITY'] = 0
+    h['DATE-OBS'] = '2014-01-01T00:00:00'
+    p = str(tmp_path / 'aia.fits')
+    write_fits(p, d * 9800.0, h)
+    out = prep_file(p, str(tmp_path / 'out'), 'sdo', resolution=None)
+    data, _ = read_fits(out)
+    f = DegradationTable.default().factor(193, datetime(2014, 1, 1))
+    np.testing.assert_allclose(data, d / f, rtol=1e-5)
