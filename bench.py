@@ -18,6 +18,11 @@ eager with per-step host sync), so vs_baseline = rays_per_sec / 10_000. The
 north star is >=10x (BASELINE.json).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+--mesh: additionally measure the mesh-sharded step over all available chips
+and report per-chip scaling efficiency (sharded rays/s/chip over single-chip
+rays/s). On a 1-chip host it reports efficiency 1.0 from the same numbers —
+the first run on a real slice produces a scaling number with zero new code.
 """
 import json
 import time
@@ -25,9 +30,47 @@ import time
 ESTIMATED_REFERENCE_RAYS_PER_SEC = 10_000.0
 
 
-def main():
+def _measure(step, state0, batch, key, n1=5, n2=25):
+    """Differenced two-run-length timing: each run ends with a scalar host
+    fetch (the axon tunnel's block_until_ready returns before remote
+    execution finishes), and the difference cancels dispatch overhead."""
+    def run(n_steps):
+        state = state0
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = step(state, batch, key)
+        _ = float(metrics['loss'])  # host fetch forces the whole chain
+        return time.perf_counter() - t0
+
+    run(2)  # warmup: compiles step + fetch path
+    t1, t2 = run(n1), run(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
+def _example_batch(batch_size):
     import jax
     import jax.numpy as jnp
+    key = jax.random.key(1)
+    rays_o = jnp.tile(jnp.asarray([[4.0, 0.0, 0.0]], jnp.float32), (batch_size, 1))
+    dirs = jnp.asarray([[-1.0, 0.0, 0.0]]) + 0.15 * jax.random.normal(key, (batch_size, 3))
+    rays_d = (dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)).astype(jnp.float32)
+    return {
+        'rays': jnp.stack([rays_o, rays_d], axis=1),
+        'time': jnp.zeros((batch_size, 1), jnp.float32),
+        'target_image': jnp.full((batch_size, 1), 0.05, jnp.float32),
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--mesh', action='store_true',
+                        help='also measure the sharded step over all chips '
+                             'and report scaling efficiency')
+    args = parser.parse_args(argv)
+
+    import jax
 
     # Mosaic remote compiles through the axon tunnel take minutes cold; the
     # persistent cache makes reruns fast.
@@ -45,37 +88,37 @@ def main():
     optimizer = make_optimizer()
     step = make_train_step(renderer, LossConfig(), optimizer, donate=False)
     state0 = create_train_state(params, optimizer)
-
     key = jax.random.key(1)
-    rays_o = jnp.tile(jnp.asarray([[4.0, 0.0, 0.0]], jnp.float32), (batch_size, 1))
-    dirs = jnp.asarray([[-1.0, 0.0, 0.0]]) + 0.15 * jax.random.normal(key, (batch_size, 3))
-    rays_d = (dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)).astype(jnp.float32)
-    batch = {
-        'rays': jnp.stack([rays_o, rays_d], axis=1),
-        'time': jnp.zeros((batch_size, 1), jnp.float32),
-        'target_image': jnp.full((batch_size, 1), 0.05, jnp.float32),
-    }
 
-    def run(n_steps):
-        state = state0
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            state, metrics = step(state, batch, key)
-        _ = float(metrics['loss'])  # host fetch forces the whole chain
-        return time.perf_counter() - t0
-
-    run(2)  # warmup: compiles step + fetch path
-    n1, n2 = 5, 25
-    t1, t2 = run(n1), run(n2)
-    per_step = (t2 - t1) / (n2 - n1)
+    per_step = _measure(step, state0, _example_batch(batch_size), key)
     rays_per_sec = batch_size / per_step
 
-    print(json.dumps({
+    result = {
         'metric': 'train_rays_per_sec_per_chip',
         'value': round(rays_per_sec, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_per_sec / ESTIMATED_REFERENCE_RAYS_PER_SEC, 3),
-    }))
+    }
+
+    if args.mesh:
+        n = jax.device_count()
+        if n == 1:
+            result.update(n_chips=1, scaling_efficiency=1.0)
+        else:
+            from sunerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+            mesh = make_mesh()
+            mstep = make_train_step(renderer, LossConfig(), optimizer,
+                                    mesh=mesh, donate=False)
+            mstate = replicate(mesh, create_train_state(params, optimizer))
+            mbatch = shard_batch(mesh, _example_batch(batch_size * n))
+            m_per_step = _measure(mstep, mstate, mbatch, key)
+            sharded_per_chip = batch_size / m_per_step  # global/n per chip
+            result.update(
+                n_chips=n,
+                sharded_rays_per_sec_per_chip=round(sharded_per_chip, 1),
+                scaling_efficiency=round(sharded_per_chip / rays_per_sec, 3))
+
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

@@ -105,18 +105,125 @@ def download_synoptic(carrington_rotation: int, out_dir: str,
     return paths
 
 
-def convert_stereo_to_sdo(files, out_dir: str):
-    """ITI GAN instrument conversion SECCHI -> AIA-like (reference
-    data/euv/convert_stereo_to_sdo.py:52-128; model stereo_to_sdo_v0_2.pt)."""
+STEREO_WAVELENGTHS = ('171', '195', '284', '304')
+SDO_TARGET_WAVELENGTHS = (171, 193, 211, 304)
+
+
+def align_stereo_basenames(data_path: str, out_dir: str | None = None,
+                           wavelengths=STEREO_WAVELENGTHS) -> list[str]:
+    """Basenames present in ALL wavelength subdirectories of data_path (the
+    reference's time alignment, convert_stereo_to_sdo.py:22-29), minus ones
+    already converted into out_dir."""
+    import glob as _glob
+    per_wl = [{os.path.basename(f)
+               for f in _glob.glob(os.path.join(data_path, wl, '*.fits'))}
+              for wl in wavelengths]
+    names = sorted(set.intersection(*per_wl)) if per_wl else []
+    if out_dir:
+        existing = {os.path.basename(f) for f in _glob.glob(
+            os.path.join(out_dir, str(wavelengths[0]), '*.fits'))}
+        names = [n for n in names if n not in existing]
+    return names
+
+
+def _build_iti_translator(model_name: str, resolution: int):
+    """The GAN translator over the published stereo_to_sdo_v0_2.pt model —
+    the reference's STEREOToSDO subclass (convert_stereo_to_sdo.py:84-108):
+    SECCHI prep editors per channel, model inference, per-channel AIA norm
+    inversion, AIA-like metadata. Requires the external `iti` package + sunpy
+    (GPU data-prep host)."""
     try:
-        from itipy.translate import STEREOToSDO
+        from iti.data.dataset import BaseDataset, StackDataset
+        from iti.data.editor import (ExpandDimsEditor, LoadMapEditor,
+                                     MapToDataEditor, NormalizeEditor,
+                                     NormalizeRadiusEditor, SECCHIPrepEditor,
+                                     sdo_norms, stereo_norms)
+        from iti.translate import InstrumentToInstrument
+        from sunpy.map import Map
     except ImportError as e:
         raise ImportError(
-            'STEREO->SDO conversion requires the external `itipy` package '
-            '(instrument-to-instrument GAN) — run on a GPU data-prep host') from e
-    os.makedirs(out_dir, exist_ok=True)
-    translator = STEREOToSDO(model_path=None)
-    return list(translator.translate(files, basenames=None))
+            'STEREO->SDO conversion requires the external `iti` package '
+            '(instrument-to-instrument GAN) and sunpy — run on a GPU '
+            'data-prep host') from e
+
+    class _SECCHIDataset(BaseDataset):
+        def __init__(self, data, wavelength, degradation=None, **kwargs):
+            editors = [LoadMapEditor(),
+                       SECCHIPrepEditor(degradation),
+                       NormalizeRadiusEditor(resolution, crop=False),
+                       MapToDataEditor(),
+                       NormalizeEditor(stereo_norms[wavelength]),
+                       ExpandDimsEditor()]
+            super().__init__(data, editors=editors, **kwargs)
+
+    class _STEREODataset(StackDataset):
+        def __init__(self, paths, **kwargs):
+            # 304 degradation polynomial from the reference
+            # (convert_stereo_to_sdo.py:77)
+            data_sets = [
+                _SECCHIDataset(paths[0], 171),
+                _SECCHIDataset(paths[1], 195),
+                _SECCHIDataset(paths[2], 284),
+                _SECCHIDataset(paths[3], 304,
+                               degradation=[-9.42497209e-05, 2.27153104e+00]),
+            ]
+            super().__init__(data_sets, **kwargs)
+
+    class _Translator(InstrumentToInstrument):
+        def translate(self, paths, basenames=None):
+            dataset = _STEREODataset(paths, basenames=basenames)
+            norms = [sdo_norms[wl] for wl in SDO_TARGET_WAVELENGTHS]
+            for result, _, _ in self._translateDataset(dataset):
+                yield [Map(norm.inverse((s_map.data + 1) / 2),
+                           self._to_sdo_meta(s_map.meta, wl))
+                       for s_map, norm, wl in
+                       zip(result, norms, SDO_TARGET_WAVELENGTHS)]
+
+        def _to_sdo_meta(self, meta, wl):
+            new_meta = meta.copy()
+            new_meta['obsrvtry'] = 'STEREO-to-SDO'
+            new_meta['telescop'] = 'sdo'
+            new_meta['instrume'] = 'AIA'
+            new_meta['WAVELNTH'] = wl
+            new_meta['waveunit'] = 'angstrom'
+            return new_meta
+
+    return _Translator(model_name)
+
+
+def convert_stereo_to_sdo(data_path: str, out_dir: str,
+                          model_name: str = 'stereo_to_sdo_v0_2.pt',
+                          resolution: int = 1024,
+                          translator=None) -> list[str]:
+    """ITI GAN instrument conversion SECCHI -> AIA-like FITS (reference
+    data/euv/convert_stereo_to_sdo.py:52-128, time-aligned 4-wavelength
+    variant _full.py:30-42).
+
+    data_path holds 171/195/284/304 subdirectories of prepped SECCHI FITS;
+    each basename present in all four is translated to AIA-like 171/193/211/
+    304 maps written to out_dir/<wl>/<basename>. Already-converted basenames
+    are skipped (resumable). `translator` injects a prebuilt/fake translator
+    (tests); default builds the ITI GAN."""
+    basenames = align_stereo_basenames(data_path, out_dir)
+    if not basenames:
+        return []
+    if translator is None:
+        translator = _build_iti_translator(model_name, resolution)
+
+    for wl in SDO_TARGET_WAVELENGTHS:
+        os.makedirs(os.path.join(out_dir, str(wl)), exist_ok=True)
+    paths = [[os.path.join(data_path, wl, b) for b in basenames]
+             for wl in STEREO_WAVELENGTHS]
+
+    written = []
+    for maps, basename in zip(translator.translate(paths, basenames=basenames),
+                              basenames):
+        for s_map, wl in zip(maps, SDO_TARGET_WAVELENGTHS):
+            path = os.path.join(out_dir, str(wl), basename)
+            if not os.path.exists(path):
+                s_map.save(path)
+                written.append(path)
+    return written
 
 
 def main(argv=None):

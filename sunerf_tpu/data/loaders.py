@@ -238,7 +238,17 @@ def build_single_channel_data(data_path, working_dir: str,
                    seconds_per_dt=seconds_per_dt,
                    validation_shape=tuple(ref_maps[0]['image'].shape),
                    extras={'dataset_ids_path': ids_path,
-                           'dataset_names': list(maps_by_source)})
+                           'dataset_names': list(maps_by_source),
+                           'overview': {
+                               'poses': np.stack([m['pose']
+                                                  for m in all_maps]),
+                               'times': np.asarray(
+                                   [normalize_datetime(m['time'],
+                                                       seconds_per_dt,
+                                                       ref_time)
+                                    for m in all_maps], np.float32),
+                               'images': [m['image'] for m in all_maps[:4]],
+                           }})
 
 
 # ------------------------------------------------------------- multi-thermal
@@ -420,4 +430,11 @@ def build_multi_thermal_data(data_path: str, working_dir: str,
     return RayData(train=train_ds, valid=valid_ds, config=config,
                    ref_time=ref_time, Rs_per_ds=Rs_per_ds,
                    seconds_per_dt=seconds_per_dt,
-                   validation_shape=valid['shape'])
+                   validation_shape=valid['shape'],
+                   extras={'overview': {
+                       'poses': np.stack([r['pose'] for r in records]),
+                       'times': np.asarray([float(r['time'][0, 0])
+                                            for r in records], np.float32),
+                       'images': [r['image'].reshape(*r['shape'], -1).max(-1)
+                                  for r in records[:4]],
+                   }})

@@ -88,7 +88,8 @@ def main(argv=None):
     trainer = Trainer(renderer, init, data, loss_config=loss_config,
                       optim_config=OptimConfig(**config.get('optimizer', {})),
                       trainer_config=trainer_config, workdir=workdir,
-                      mesh=mesh, logger=logger)
+                      mesh=mesh, logger=logger,
+                      microbatch=train_cfg.get('microbatch'))
     trainer.fit()
     logger.close()
 

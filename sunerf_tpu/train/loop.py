@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
 from typing import Optional
 
 import jax
@@ -53,7 +52,8 @@ class Trainer:
                  optim_config: OptimConfig = OptimConfig(),
                  trainer_config: TrainerConfig = TrainerConfig(),
                  workdir: str = './workdir', mesh=None,
-                 logger: Optional[MetricsLogger] = None):
+                 logger: Optional[MetricsLogger] = None,
+                 microbatch: Optional[int] = None):
         self.renderer = renderer
         self.data = data
         self.config = trainer_config
@@ -66,8 +66,9 @@ class Trainer:
 
         self.optimizer = make_optimizer(optim_config)
         self.step_fn = make_train_step(renderer, loss_config, self.optimizer,
-                                       mesh=mesh)
-        self.eval_fn = make_eval_step(renderer)  # single-device eval (small val sets)
+                                       mesh=mesh, microbatch=microbatch)
+        self.eval_fn = make_eval_step(renderer, mesh=mesh)
+        self._eval_many = self._make_eval_many()
         self.loss_config = loss_config
 
         params = init_params(jax.random.key(trainer_config.seed)) \
@@ -82,12 +83,74 @@ class Trainer:
 
         self.logger = logger or MetricsLogger(workdir)
 
+    def _make_eval_many(self):
+        """The chunked held-out render, ray-sharded over the mesh when one is
+        given (an 8-chip run validates on 8 chips, not 1)."""
+        if self.mesh is None:
+            return jax.jit(self._eval_chunked)
+        from jax.sharding import PartitionSpec as P
+
+        from sunerf_tpu.parallel.mesh import DATA_AXIS
+        return jax.jit(jax.shard_map(
+            self._eval_chunked, mesh=self.mesh,
+            in_specs=(P(), P(None, DATA_AXIS)),
+            out_specs=P(None, DATA_AXIS), check_vma=False))
+
+    def _log_fit_start_overview(self):
+        """Camera-pose quiver + sample-image strip at fit start (reference
+        log_overview, train/callback.py:180-234, called from the data module
+        at single_channel.py:32)."""
+        overview = (self.data.extras or {}).get('overview')
+        if not overview:
+            return
+        try:
+            from sunerf_tpu.train.visualization import log_overview
+            path = os.path.join(self.workdir, 'overview.jpg')
+            log_overview(overview['images'], overview['poses'],
+                         overview['times'], path)
+            self.logger.log_image('overview', path, 0)
+        except Exception as e:  # diagnostics never kill training
+            self.logger.log({'overview_failed': 1.0}, 0)
+            import logging
+            logging.getLogger(__name__).warning('overview plot failed: %s', e)
+
+    def _log_ray_sampling(self, key):
+        """Stratified-vs-hierarchical sample-position diagnostic on a few
+        held-out rays (reference plot_ray_sampling, callback.py:237-256)."""
+        try:
+            from sunerf_tpu.train.visualization import plot_ray_sampling
+            arrays = self.data.valid.arrays
+            n = min(32, next(iter(arrays.values())).shape[0])
+            params = self.state.params
+            rays = np.asarray(arrays['rays'][:n])
+            times = np.asarray(arrays['time'][:n])
+            wl = arrays.get('wavelength')
+            render = self.renderer(
+                jax.tree.map(np.asarray, params),
+                rays[:, 0], rays[:, 1], times, key=key,
+                wavelengths=None if wl is None else np.asarray(wl[:n]))
+            path = os.path.join(self.workdir, 'ray_sampling.jpg')
+            plot_ray_sampling(render['z_vals_stratified'],
+                              render['z_vals_hierarchical'], path)
+            self.logger.log_image('ray_sampling', path, 0)
+        except Exception as e:
+            import logging
+            logging.getLogger(__name__).warning('ray-sampling plot failed: %s', e)
+
     # ------------------------------------------------------------------ fit
     def fit(self):
         cfg = self.config
         key = jax.random.key(cfg.seed)
         start_step = int(self.state.step)
         batches = iterate_batches(self.data.train, shuffle=True, seed=cfg.seed)
+
+        if start_step == 0:
+            self._log_fit_start_overview()
+            self._log_ray_sampling(jax.random.key(cfg.seed + 1))
+            # pre-training sanity render of the held-out view (reference
+            # num_sanity_val_steps=-1, run_emission.py:70): a mis-wired run
+            # shows a broken image immediately, not val_every steps later
+            self.validate(0)
 
         # preemption handling: checkpoint on SIGTERM, then resume-from-last
         # recovers the run (SURVEY §5 — the reference has none)
@@ -101,17 +164,18 @@ class Trainer:
         except ValueError:  # not the main thread
             prev_handler = None
 
-        profiling = False
-        t0 = time.perf_counter()
-        rays_done = 0
+        from sunerf_tpu.utils.profiling import StepTimer, trace
+        profile_cm = None
+        timer = StepTimer()
         for step in range(start_step, cfg.total_steps):
             if cfg.profile_steps:
                 if step == cfg.profile_start:
-                    jax.profiler.start_trace(os.path.join(self.workdir, 'profile'))
-                    profiling = True
-                elif profiling and step == cfg.profile_start + cfg.profile_steps:
-                    jax.profiler.stop_trace()
-                    profiling = False
+                    profile_cm = trace(os.path.join(self.workdir, 'profile'))
+                    profile_cm.__enter__()
+                elif profile_cm is not None and \
+                        step == cfg.profile_start + cfg.profile_steps:
+                    profile_cm.__exit__(None, None, None)
+                    profile_cm = None
             if preempted['flag']:
                 self.save(step)
                 self.logger.log({'preempted': 1.0}, step)
@@ -123,17 +187,20 @@ class Trainer:
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
             self.state, metrics = self.step_fn(self.state, batch, key)
-            rays_done += batch['rays'].shape[0]
+            timer.tick(batch['rays'].shape[0])
 
             if (step + 1) % cfg.log_every == 0:
+                # rate() fetches the loss scalar first, forcing completion of
+                # the async chain (the axon tunnel returns from
+                # block_until_ready before remote execution finishes)
+                rate = timer.rate(sync_value=metrics['loss'])
                 m = {k: float(v) for k, v in metrics.items()}
-                dt = time.perf_counter() - t0
-                m['rays_per_sec'] = rays_done / dt
+                m['rays_per_sec'] = rate
                 if not np.isfinite(m['loss']):
                     raise FloatingPointError(
                         f'! [Numerical Alert] non-finite loss at step {step + 1}')
                 self.logger.log(m, step + 1)
-                t0, rays_done = time.perf_counter(), 0
+                timer.reset()
 
             if (step + 1) % cfg.val_every == 0:
                 self.validate(step + 1)
@@ -169,8 +236,6 @@ class Trainer:
                            .reshape(n_pad // bs, bs, *v.shape[1:]))
             for k, v in arrays.items()}
         target_chunks = chunked.pop('target_image')
-        if not hasattr(self, '_eval_many'):
-            self._eval_many = jax.jit(self._eval_chunked)
         fine, coarse, height, absorption = self._eval_many(params, chunked)
 
         def flat(x):

@@ -19,12 +19,13 @@ def log_overview(images, poses, times, path: str, cmap: str = 'afmhot'):
     plt = _mpl()
     poses = np.asarray(poses)
     origins = poses[:, :3, 3]
-    dirs = -origins / np.linalg.norm(origins, axis=-1, keepdims=True)
+    norms = np.linalg.norm(origins, axis=-1, keepdims=True)
+    dirs = -origins / np.maximum(norms, 1e-12)
 
     fig = plt.figure(figsize=(12, 6))
     ax = fig.add_subplot(1, 2, 1, projection='3d')
     t = np.asarray(times, float)
-    norm_t = (t - t.min()) / (t.ptp() or 1.0)
+    norm_t = (t - t.min()) / (np.ptp(t) or 1.0)
     ax.quiver(origins[:, 0], origins[:, 1], origins[:, 2],
               dirs[:, 0], dirs[:, 1], dirs[:, 2],
               length=np.linalg.norm(origins, axis=-1).mean() * 0.3)

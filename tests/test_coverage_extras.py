@@ -101,3 +101,56 @@ def test_fits_write_rejects_bad_dtype(tmp_path):
         assert False
     except TypeError:
         pass
+
+
+def test_stereo_to_sdo_conversion_contract(tmp_path):
+    """convert_stereo_to_sdo: aligns basenames across the four SECCHI
+    wavelength dirs, passes per-wavelength path lists to the translator, and
+    writes AIA-like outputs to out/<sdo_wl>/<basename> (reference
+    convert_stereo_to_sdo.py:52-128) — exercised with a fake translator."""
+    import os
+
+    from sunerf_tpu.data.download import (SDO_TARGET_WAVELENGTHS,
+                                          align_stereo_basenames,
+                                          convert_stereo_to_sdo)
+
+    data = tmp_path / 'prep'
+    names = ['a_2012-08-01T00:00:00.fits', 'b_2012-08-01T06:00:00.fits',
+             'c_2012-08-01T12:00:00.fits']
+    for wl in ('171', '195', '284', '304'):
+        d = data / wl
+        d.mkdir(parents=True)
+        # 'c' missing from 284: must be dropped by the alignment
+        for n in names if wl != '284' else names[:2]:
+            (d / n).write_bytes(b'')
+
+    out = tmp_path / 'converted'
+    assert align_stereo_basenames(str(data)) == names[:2]
+
+    class FakeMap:
+        def save(self, path):
+            with open(path, 'w') as f:
+                f.write('x')
+
+    calls = {}
+
+    class FakeTranslator:
+        def translate(self, paths, basenames=None):
+            calls['paths'] = paths
+            calls['basenames'] = basenames
+            for _ in basenames:
+                yield [FakeMap() for _ in range(4)]
+
+    written = convert_stereo_to_sdo(str(data), str(out),
+                                    translator=FakeTranslator())
+    assert calls['basenames'] == names[:2]
+    assert len(calls['paths']) == 4
+    assert calls['paths'][1][0].endswith(os.path.join('195', names[0]))
+    assert len(written) == 8
+    for wl in SDO_TARGET_WAVELENGTHS:
+        for n in names[:2]:
+            assert os.path.exists(out / str(wl) / n)
+
+    # resumable: everything already converted -> nothing to do, and the
+    # default (dependency-gated) translator is never constructed
+    assert convert_stereo_to_sdo(str(data), str(out)) == []

@@ -94,3 +94,49 @@ def test_sharded_eval_matches_single_device():
 def test_global_batch_size():
     mesh = make_mesh()
     assert global_batch_size(1024, mesh) == 8192
+
+
+def test_trainer_mesh_validation_and_diagnostics(tmp_path):
+    """Trainer on the 8-device mesh: the held-out render goes through the
+    sharded eval path (all chips, not 1), the pre-training sanity validation
+    runs at step 0 (reference num_sanity_val_steps=-1, run_emission.py:70),
+    and the fit-start diagnostics (pose overview, ray-sampling plot;
+    reference callback.py:92-256) land in the workdir."""
+    import json
+    import os
+
+    from sunerf_tpu.data.datasets import ArrayDataset
+    from sunerf_tpu.data.loaders import RayData
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+
+    renderer, params, batch = _setup(n_rays=128)
+    train_ds = ArrayDataset({k: np.asarray(v) for k, v in batch.items()},
+                            batch_size=64)
+    valid = {k: np.asarray(v)[:64] for k, v in batch.items()}
+    poses = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    poses[:, 0, 3] = [4.0, 0.0, -4.0]
+    data = RayData(train=train_ds,
+                   valid=ArrayDataset(valid, batch_size=64),
+                   config={'type': 'emission'}, ref_time=None,
+                   validation_shape=(8, 8),
+                   extras={'overview': {
+                       'poses': poses,
+                       'times': np.asarray([0.0, 0.5, 1.0], np.float32),
+                       'images': [np.ones((8, 8), np.float32)] * 2}})
+
+    workdir = str(tmp_path / 'run')
+    trainer = Trainer(renderer, params, data,
+                      loss_config=LossConfig(lambda_regularization=0.0),
+                      trainer_config=TrainerConfig(total_steps=2, val_every=10,
+                                                   checkpoint_every=10,
+                                                   log_every=1),
+                      workdir=workdir, mesh=make_mesh())
+    trainer.fit()
+
+    with open(os.path.join(workdir, 'metrics.jsonl')) as f:
+        recs = [json.loads(line) for line in f]
+    sanity = [r for r in recs if 'val_psnr' in r and r['step'] == 0]
+    assert sanity, 'no step-0 sanity validation'
+    assert os.path.exists(os.path.join(workdir, 'overview.jpg'))
+    assert os.path.exists(os.path.join(workdir, 'ray_sampling.jpg'))
+    assert os.path.exists(os.path.join(workdir, 'val_00000000_ch0.jpg'))
