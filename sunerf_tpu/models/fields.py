@@ -133,14 +133,16 @@ def nerf_apply(config: NeRFConfig, params: dict, points: jnp.ndarray) -> FieldOu
 def nerf_apply_fused(config: NeRFConfig, params: dict, points: jnp.ndarray,
                      tile: int = 1024, bwd_tile: int = 256,
                      interpret: bool | None = None,
-                     stash: bool | None = None) -> FieldOutput:
+                     stash: bool | None = None,
+                     stash_tile: int = 768) -> FieldOutput:
     """Fused-Pallas-kernel evaluation: identical contract to nerf_apply, with
     posenc + all matmuls + sines in one VMEM-resident kernel
     (ops/pallas/fused_mlp.py). bf16 MXU passes with f32 accumulation.
     stash controls the activation-stashing backward (auto: on for TPU)."""
     from sunerf_tpu.ops.pallas.fused_mlp import fused_nerf_raw
     raw = fused_nerf_raw(config, params, points, tile=tile, bwd_tile=bwd_tile,
-                         interpret=interpret, stash=stash)
+                         interpret=interpret, stash=stash,
+                         stash_tile=stash_tile)
     if config.base_log_density or config.base_log_temperature:
         raw = raw + jnp.asarray(
             [config.base_log_density, config.base_log_temperature], raw.dtype)

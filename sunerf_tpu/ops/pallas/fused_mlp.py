@@ -48,6 +48,12 @@ _HALF_PI = float(np.pi / 2.0)
 # near-minimax odd polynomial for sin on [-pi, pi]; max abs err 9.6e-8
 _SIN_C = (9.999995999e-01, -1.666655263e-01, 8.332402961e-03,
           -1.980863262e-04, 2.699713829e-06, -2.036221213e-08)
+# near-minimax EVEN polynomial for cos on [-pi, pi]; max abs err 7.8e-7 —
+# lets fast_sincos share one range reduction instead of running fast_sin
+# twice (the second reduction + odd-poly pass measurably dominated the
+# stashing forward: 11.05 ms -> 8.6 ms at 262k points)
+_COS_C = (9.999992216e-01, -4.999942681e-01, 4.165982217e-02,
+          -1.385891583e-03, 2.420439995e-05, -2.197887694e-07)
 
 
 def fast_sin(x):
@@ -61,6 +67,19 @@ def fast_sin(x):
 
 def fast_cos(x):
     return fast_sin(x + _HALF_PI)
+
+
+def fast_sincos(x):
+    """(sin x, cos x) sharing one range reduction and one y^2; the cos uses a
+    degree-10 even minimax poly (err < 8e-7 — far below the bf16 stash
+    precision it feeds)."""
+    y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
+    y2 = y * y
+    c0, c1, c2, c3, c4, c5 = _SIN_C
+    s = y * (c0 + y2 * (c1 + y2 * (c2 + y2 * (c3 + y2 * (c4 + y2 * c5)))))
+    d0, d1, d2, d3, d4, d5 = _COS_C
+    c = d0 + y2 * (d1 + y2 * (d2 + y2 * (d3 + y2 * (d4 + y2 * d5))))
+    return s, c
 
 
 def _round_up(x: int, m: int) -> int:
@@ -209,17 +228,27 @@ def _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points):
 def _fwd_stash_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref,
                       w_out_ref, b_out_ref, out_ref, hs_ref, cs_ref,
                       *, dims: _Dims):
+    # stash layout: [tile, L1*H] — one CONTIGUOUS HBM block per tile per
+    # output, so the pipelined stash DMA is a single transfer (the previous
+    # [L1, tile, H] layout wrote 8 strided chunks per tile, which kept the
+    # stash writes from hiding behind the matmuls: measured 11.05 ms vs
+    # 6.42 ms plain forward at 262k points)
+    H = dims.d_filter
     enc = _encode(pts_ref[:], k_ref)
     z = _mm(enc, w_in_ref[:]) + b_in_ref[:]
-    h = fast_sin(z)
-    hs_ref[0] = h.astype(jnp.bfloat16)
-    cs_ref[0] = fast_cos(z).astype(jnp.bfloat16)
+    # one bf16 cast per activation, shared by the stash store and the next
+    # matmul (which runs in bf16 anyway)
+    h, c = fast_sincos(z)
+    hb = h.astype(jnp.bfloat16)
+    hs_ref[:, 0:H] = hb
+    cs_ref[:, 0:H] = c.astype(jnp.bfloat16)
     for i in range(dims.n_hidden):
-        z = _mm(h, w_h_ref[i]) + b_h_ref[i]
-        h = fast_sin(z)
-        hs_ref[i + 1] = h.astype(jnp.bfloat16)
-        cs_ref[i + 1] = fast_cos(z).astype(jnp.bfloat16)
-    out_ref[:] = _mm(h, w_out_ref[:]) + b_out_ref[:]
+        z = _mm(hb, w_h_ref[i]) + b_h_ref[i]
+        h, c = fast_sincos(z)
+        hb = h.astype(jnp.bfloat16)
+        hs_ref[:, (i + 1) * H:(i + 2) * H] = hb
+        cs_ref[:, (i + 1) * H:(i + 2) * H] = c.astype(jnp.bfloat16)
+    out_ref[:] = _mm(hb, w_out_ref[:]) + b_out_ref[:]
 
 
 def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
@@ -245,20 +274,30 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
                 precision=jax.lax.Precision.HIGHEST)
     enc = jnp.concatenate([pts, fast_sin(u), fast_cos(u)], axis=-1)
 
+    H = dims.d_filter
+
+    def hs(i):
+        return hs_ref[:, i * H:(i + 1) * H]
+
+    def cs(i):
+        return cs_ref[:, i * H:(i + 1) * H]
+
     dy = dy_ref[:]
-    dw_out_acc[:] += _mm_t(hs_ref[dims.n_hidden], dy, 0, 0)
+    dw_out_acc[:] += _mm_t(hs(dims.n_hidden), dy, 0, 0)
     db_out_acc[:] += jnp.sum(dy, axis=0, keepdims=True)
     dh = _mm_t(dy, w_out_ref[:], 1, 1)
 
+    # dz stays bf16: the product feeds bf16 matmuls either way, and the bf16
+    # VPU multiply runs at twice the f32 lane throughput
     for i in range(dims.n_hidden - 1, -1, -1):
-        dz = dh * cs_ref[i + 1].astype(jnp.float32)
-        dw_h_acc[i] += _mm_t(hs_ref[i], dz, 0, 0)
-        db_h_acc[i] += jnp.sum(dz, axis=0)
+        dz = dh.astype(jnp.bfloat16) * cs(i + 1)
+        dw_h_acc[i] += _mm_t(hs(i), dz, 0, 0)
+        db_h_acc[i] += jnp.sum(dz, axis=0, dtype=jnp.float32)
         dh = _mm_t(dz, w_h_ref[i], 1, 1)
 
-    dz = dh * cs_ref[0].astype(jnp.float32)
+    dz = dh.astype(jnp.bfloat16) * cs(0)
     dw_in_acc[:] += _mm_t(enc, dz, 0, 0)
-    db_in_acc[:] += jnp.sum(dz, axis=0, keepdims=True)
+    db_in_acc[:] += jnp.sum(dz, axis=0, keepdims=True, dtype=jnp.float32)
     denc = _mm_t(dz, w_in_ref[:], 1, 1)
 
     D = dims.d_input
@@ -300,7 +339,7 @@ def _fused_mlp_stash_fwd(dims, tile, interpret, params, points):
 
     const = lambda *_: (0, 0)
     const3 = lambda *_: (0, 0, 0)
-    act_spec = pl.BlockSpec((L1, tile, H), lambda i: (0, i, 0),
+    act_spec = pl.BlockSpec((tile, L1 * H), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out, hs, cs = pl.pallas_call(
         functools.partial(_fwd_stash_kernel, dims=dims),
@@ -323,8 +362,8 @@ def _fused_mlp_stash_fwd(dims, tile, interpret, params, points):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, dims.d_output), jnp.float32),
-            jax.ShapeDtypeStruct((L1, n_pad, H), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L1, n_pad, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_pad, L1 * H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_pad, L1 * H), jnp.bfloat16),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -336,7 +375,7 @@ def _fused_mlp_stash_fwd(dims, tile, interpret, params, points):
 def _fused_mlp_stash_bwd(dims, tile, interpret, residuals, g):
     params, points, hs, cs = residuals
     n = points.shape[0]
-    n_pad = hs.shape[1]
+    n_pad = hs.shape[0]
     pts = _pad_rows(points, n_pad)
     gy = _pad_rows(g, n_pad)
     k_mat, w_in, _b_in, w_h, _b_h, w_out, _b_out = _prep(params, dims)
@@ -353,7 +392,7 @@ def _fused_mlp_stash_bwd(dims, tile, interpret, residuals, g):
     out_specs = ([pl.BlockSpec((tile, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6)
-    act_spec = pl.BlockSpec((L1, tile, H), lambda i: (0, i, 0),
+    act_spec = pl.BlockSpec((tile, L1 * H), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
@@ -422,17 +461,18 @@ def _bwd_kernel(pts_ref, dy_ref, k_ref, w_in_ref, w_h_ref, w_out_ref,
                 precision=jax.lax.Precision.HIGHEST)
     enc = jnp.concatenate([pts, fast_sin(u), fast_cos(u)], axis=-1)
 
-    # forward recompute storing sin AND cos (bf16): the backward sweep then
-    # needs zero transcendental recomputes (8 fewer VPU passes per tile than
-    # storing pre-activations and re-deriving sin/cos)
+    # forward recompute storing sin AND cos (bf16, shared-reduction sincos):
+    # the backward sweep then needs zero transcendental recomputes
     hs, cs = [], []
     z = _mm(enc, w_in_ref[:]) + b_in_ref[:]
-    hs.append(fast_sin(z).astype(jnp.bfloat16))
-    cs.append(fast_cos(z).astype(jnp.bfloat16))
+    s, c = fast_sincos(z)
+    hs.append(s.astype(jnp.bfloat16))
+    cs.append(c.astype(jnp.bfloat16))
     for i in range(dims.n_hidden):
         z = _mm(hs[-1], w_h_ref[i]) + b_h_ref[i]
-        hs.append(fast_sin(z).astype(jnp.bfloat16))
-        cs.append(fast_cos(z).astype(jnp.bfloat16))
+        s, c = fast_sincos(z)
+        hs.append(s.astype(jnp.bfloat16))
+        cs.append(c.astype(jnp.bfloat16))
 
     dy = dy_ref[:]
     dw_out_acc[:] += _mm_t(hs[-1], dy, 0, 0)
@@ -440,14 +480,14 @@ def _bwd_kernel(pts_ref, dy_ref, k_ref, w_in_ref, w_h_ref, w_out_ref,
     dh = _mm_t(dy, w_out_ref[:], 1, 1)
 
     for i in range(dims.n_hidden - 1, -1, -1):
-        dz = dh * cs[i + 1].astype(jnp.float32)
+        dz = dh.astype(jnp.bfloat16) * cs[i + 1]
         dw_h_acc[i] += _mm_t(hs[i], dz, 0, 0)
-        db_h_acc[i] += jnp.sum(dz, axis=0)
+        db_h_acc[i] += jnp.sum(dz, axis=0, dtype=jnp.float32)
         dh = _mm_t(dz, w_h_ref[i], 1, 1)
 
-    dz = dh * cs[0].astype(jnp.float32)
+    dz = dh.astype(jnp.bfloat16) * cs[0]
     dw_in_acc[:] += _mm_t(enc, dz, 0, 0)
-    db_in_acc[:] += jnp.sum(dz, axis=0, keepdims=True)
+    db_in_acc[:] += jnp.sum(dz, axis=0, keepdims=True, dtype=jnp.float32)
     denc = _mm_t(dz, w_in_ref[:], 1, 1)
 
     # posenc backward: dx = denc_x + (cos(u)*dsin - sin(u)*dcos) @ K^T
@@ -535,7 +575,7 @@ _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
                    tile: int = 1024, bwd_tile: int = 256,
                    interpret: bool | None = None,
-                   stash: bool | None = None, stash_tile: int = 512) -> jnp.ndarray:
+                   stash: bool | None = None, stash_tile: int = 768) -> jnp.ndarray:
     """Evaluate the SuNeRF MLP via the fused kernel. Returns raw [N, d_output]
     (base offsets NOT applied — the caller adds them, matching nerf_apply).
 
