@@ -52,15 +52,15 @@ def main():
     report('plain fwd', timeit(fwd_plain, mlp_params, pts), flops_fwd)
 
     fwd_stash = jax.jit(lambda p, x: fm._fused_mlp_stash_fwd(
-        dims, tile, False, p, x)[0])
+        dims, tile, tile, False, False, p, x)[0])
     report(f'stash fwd (tile={tile})', timeit(fwd_stash, mlp_params, pts),
            flops_fwd)
 
     # precompute residuals once, then time the backward alone
     _, res = jax.jit(lambda p, x: fm._fused_mlp_stash_fwd(
-        dims, tile, False, p, x))(mlp_params, pts)
+        dims, tile, tile, False, False, p, x))(mlp_params, pts)
     g = jnp.ones((n, dims.d_output), jnp.float32)
-    bwd = jax.jit(lambda r, gg: fm._fused_mlp_stash_bwd(dims, tile, False,
+    bwd = jax.jit(lambda r, gg: fm._fused_mlp_stash_bwd(dims, tile, tile, False, False,
                                                         r, gg))
     report(f'stash bwd (tile={tile})', timeit(bwd, res, g), 2 * flops_fwd)
 

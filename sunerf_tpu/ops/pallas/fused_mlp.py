@@ -19,13 +19,16 @@ Measured forward: 4.1 ms at N=196608 (vs 25.7 ms XLA) — ~6x.
 
 Two backward variants, both accumulating weight grads in f32 VMEM *scratch*
 (single-buffered, unlike pipeline outputs), DMA'd to HBM at the last grid step:
-  * stashing (training default): the forward writes each layer's sin/cos to
-    HBM as pipelined outputs (DMA hides behind matmuls) and the backward
-    consumes them as pipelined inputs — no forward recompute
-    (fwd+bwd 22.4 ms at 262k points). The no-grad path stays lean: the
-    custom_vjp primal runs the plain forward, so inference never stashes.
+  * stashing (training default): the forward writes each layer's sin (bf16 —
+    it re-enters the backward's dW matmuls) and cos (int8 — it only gates dz;
+    quantization step 1/127 ~ the bf16 noise floor of the product) to HBM as
+    pipelined outputs, and the backward consumes them as pipelined inputs —
+    no forward recompute. The second stash stream is the forward's one
+    unhidden cost (a bf16 cos stash measured +3 ms vs +1.3 ms for int8 at
+    262k points on v5e). The no-grad path stays lean: the custom_vjp primal
+    runs the plain forward, so inference never stashes.
   * recompute: re-runs the forward per tile keeping sin/cos in VMEM
-    (fwd+bwd 29.4 ms) — for memory-constrained cases.
+    — for memory-constrained cases.
 
 This replaces the reference's hot loop (NeRF MLP evaluation,
 sunerf/model/model.py:44-57 via rendering/base_tracing.py:118-129) — 95+% of
@@ -54,6 +57,13 @@ _SIN_C = (9.999995999e-01, -1.666655263e-01, 8.332402961e-03,
 # stashing forward: 11.05 ms -> 8.6 ms at 262k points)
 _COS_C = (9.999992216e-01, -4.999942681e-01, 4.165982217e-02,
           -1.385891583e-03, 2.420439995e-05, -2.197887694e-07)
+# degree-8 even cos polynomial (max abs err 4.1e-5): feeds the int8 cos stash
+# whose quantization step is 1/127 = 7.9e-3 — two orders of margin, and two
+# fewer VPU ops per element on the stashing-forward hot path
+_COS8_C = (9.999598405e-01, -4.997933042e-01, 4.149612510e-02,
+           -1.339285342e-03, 1.879295230e-05)
+_COS_SCALE = 127.0
+_INV_COS_SCALE = 1.0 / 127.0
 
 
 def fast_sin(x):
@@ -80,6 +90,21 @@ def fast_sincos(x):
     d0, d1, d2, d3, d4, d5 = _COS_C
     c = d0 + y2 * (d1 + y2 * (d2 + y2 * (d3 + y2 * (d4 + y2 * d5))))
     return s, c
+
+
+def fast_sincos_q(x):
+    """(sin x f32, cos x quantized to int8) sharing one range reduction:
+    full-accuracy deg-11 sin (it feeds the forward output and the backward's
+    dW matmuls) + deg-8 cos rounded to int8 in [-127, 127] (it only gates the
+    backward dz, where the quantization step 1/127 is the precision floor)."""
+    y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
+    y2 = y * y
+    c0, c1, c2, c3, c4, c5 = _SIN_C
+    s = y * (c0 + y2 * (c1 + y2 * (c2 + y2 * (c3 + y2 * (c4 + y2 * c5)))))
+    d0, d1, d2, d3, d4 = _COS8_C
+    c = d0 + y2 * (d1 + y2 * (d2 + y2 * (d3 + y2 * d4)))
+    cq = jnp.round(c * _COS_SCALE).astype(jnp.int8)
+    return s, cq
 
 
 def _round_up(x: int, m: int) -> int:
@@ -219,10 +244,14 @@ def _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points):
 
 # ------------------------------------------------- stashing forward/backward
 #
-# Variant that writes each layer's sin/cos activations to HBM as pipelined
-# kernel outputs during the forward pass (the DMA overlaps the matmuls) so the
-# backward skips the forward recompute entirely — 1/3 fewer backward matmuls
-# for ~4.3 GB of HBM traffic that hides behind compute. Used for training on
+# Variant that writes each layer's activations to HBM as pipelined kernel
+# outputs during the forward pass (the DMA overlaps the matmuls) so the
+# backward skips the forward recompute entirely — 1/3 fewer backward matmuls.
+# The sin stash is bf16 (it re-enters the backward's dW matmuls); the cos
+# stash is int8 (it only gates dz, and the backward is MXU-bound so the
+# dequantize hides). Measured on v5e at 262k points: a second bf16 stash
+# stream costs ~3 ms of unhidden HBM writes in the forward (9.9 ms vs 5.1 ms
+# with the sin stash alone); int8 halves that stream. Used for training on
 # TPU; the recompute variant remains for memory-constrained cases.
 
 def _fwd_stash_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref,
@@ -238,25 +267,27 @@ def _fwd_stash_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref,
     z = _mm(enc, w_in_ref[:]) + b_in_ref[:]
     # one bf16 cast per activation, shared by the stash store and the next
     # matmul (which runs in bf16 anyway)
-    h, c = fast_sincos(z)
+    h, cq = fast_sincos_q(z)
     hb = h.astype(jnp.bfloat16)
     hs_ref[:, 0:H] = hb
-    cs_ref[:, 0:H] = c.astype(jnp.bfloat16)
+    cs_ref[:, 0:H] = cq
     for i in range(dims.n_hidden):
         z = _mm(hb, w_h_ref[i]) + b_h_ref[i]
-        h, c = fast_sincos(z)
+        h, cq = fast_sincos_q(z)
         hb = h.astype(jnp.bfloat16)
         hs_ref[:, (i + 1) * H:(i + 2) * H] = hb
-        cs_ref[:, (i + 1) * H:(i + 2) * H] = c.astype(jnp.bfloat16)
+        cs_ref[:, (i + 1) * H:(i + 2) * H] = cq
     out_ref[:] = _mm(hb, w_out_ref[:]) + b_out_ref[:]
 
 
 def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
-                      w_h_ref, w_out_ref,
-                      dpts_ref, dw_in_hbm, db_in_hbm, dw_h_hbm, db_h_hbm,
-                      dw_out_hbm, db_out_hbm,
-                      dw_in_acc, db_in_acc, dw_h_acc, db_h_acc, dw_out_acc,
-                      db_out_acc, copy_sems, *, dims: _Dims):
+                      w_h_ref, w_out_ref, *refs,
+                      dims: _Dims, compute_dpts: bool):
+    if compute_dpts:
+        dpts_ref, *refs = refs
+    (dw_in_hbm, db_in_hbm, dw_h_hbm, db_h_hbm, dw_out_hbm, db_out_hbm,
+     dw_in_acc, db_in_acc, dw_h_acc, db_h_acc, dw_out_acc, db_out_acc,
+     copy_sems) = refs
     first = pl.program_id(0) == 0
     last = pl.program_id(0) == pl.num_programs(0) - 1
 
@@ -280,7 +311,9 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
         return hs_ref[:, i * H:(i + 1) * H]
 
     def cs(i):
-        return cs_ref[:, i * H:(i + 1) * H]
+        # dequantized int8 cos stash; the scale folds into one bf16 multiply
+        return (cs_ref[:, i * H:(i + 1) * H].astype(jnp.bfloat16)
+                * jnp.bfloat16(_INV_COS_SCALE))
 
     dy = dy_ref[:]
     dw_out_acc[:] += _mm_t(hs(dims.n_hidden), dy, 0, 0)
@@ -298,15 +331,16 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
     dz = dh.astype(jnp.bfloat16) * cs(0)
     dw_in_acc[:] += _mm_t(enc, dz, 0, 0)
     db_in_acc[:] += jnp.sum(dz, axis=0, keepdims=True, dtype=jnp.float32)
-    denc = _mm_t(dz, w_in_ref[:], 1, 1)
 
-    D = dims.d_input
-    d_freq = dims.n_cols
-    du = (fast_cos(u) * denc[:, D:D + d_freq]
-          - fast_sin(u) * denc[:, D + d_freq:])
-    dpts_ref[:] = denc[:, :D] + jnp.dot(
-        du, k_ref[:].T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    if compute_dpts:
+        denc = _mm_t(dz, w_in_ref[:], 1, 1)
+        D = dims.d_input
+        d_freq = dims.n_cols
+        du = (fast_cos(u) * denc[:, D:D + d_freq]
+              - fast_sin(u) * denc[:, D + d_freq:])
+        dpts_ref[:] = denc[:, :D] + jnp.dot(
+            du, k_ref[:].T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(last)
     def _flush():
@@ -319,8 +353,14 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
             copy.wait()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fused_mlp_stash(dims: _Dims, tile: int, interpret: bool,
+def _lcm(a: int, b: int) -> int:
+    import math
+    return a * b // math.gcd(a, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_mlp_stash(dims: _Dims, tile: int, bwd_tile: int, interpret: bool,
+                     compute_dpts: bool,
                      params: dict, points: jnp.ndarray) -> jnp.ndarray:
     # primal (no-grad) path: the lean forward — no activation stashing, so
     # inference renders of millions of points never allocate the stash; the
@@ -329,9 +369,13 @@ def _fused_mlp_stash(dims: _Dims, tile: int, interpret: bool,
                           params, points)[0]
 
 
-def _fused_mlp_stash_fwd(dims, tile, interpret, params, points):
+def _fused_mlp_stash_fwd(dims, tile, bwd_tile, interpret, compute_dpts,
+                         params, points):
     n = points.shape[0]
-    n_pad = _round_up(max(n, tile), tile)
+    # the forward and backward use different tile sizes (v5e sweet spots:
+    # 512 fwd / 768 bwd), so pad once to a common multiple
+    both = _lcm(tile, bwd_tile)
+    n_pad = _round_up(max(n, both), both)
     pts = _pad_rows(points, n_pad)
     k_mat, w_in, b_in, w_h, b_h, w_out, b_out = _prep(params, dims)
     d_freq = dims.n_cols
@@ -363,7 +407,7 @@ def _fused_mlp_stash_fwd(dims, tile, interpret, params, points):
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, dims.d_output), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, L1 * H), jnp.bfloat16),
-            jax.ShapeDtypeStruct((n_pad, L1 * H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_pad, L1 * H), jnp.int8),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -372,7 +416,8 @@ def _fused_mlp_stash_fwd(dims, tile, interpret, params, points):
     return out[:n], (params, points, hs, cs)
 
 
-def _fused_mlp_stash_bwd(dims, tile, interpret, residuals, g):
+def _fused_mlp_stash_bwd(dims, tile, bwd_tile, interpret, compute_dpts,
+                         residuals, g):
     params, points, hs, cs = residuals
     n = points.shape[0]
     n_pad = hs.shape[0]
@@ -387,20 +432,21 @@ def _fused_mlp_stash_bwd(dims, tile, interpret, residuals, g):
     f = jnp.float32
     D, E, O, L = dims.d_input, dims.d_enc, dims.d_output, dims.n_hidden
     grad_shapes = ((E, H), (1, H), (L, H, H), (L, H), (H, O), (1, O))
-    out_shapes = ([jax.ShapeDtypeStruct((n_pad, D), f)]
-                  + [jax.ShapeDtypeStruct(s, f) for s in grad_shapes])
-    out_specs = ([pl.BlockSpec((tile, D), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
-                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6)
-    act_spec = pl.BlockSpec((tile, L1 * H), lambda i: (i, 0),
+    dpts_shapes = [jax.ShapeDtypeStruct((n_pad, D), f)] if compute_dpts else []
+    dpts_specs = [pl.BlockSpec((bwd_tile, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] if compute_dpts else []
+    out_shapes = dpts_shapes + [jax.ShapeDtypeStruct(s, f) for s in grad_shapes]
+    out_specs = dpts_specs + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6
+    act_spec = pl.BlockSpec((bwd_tile, L1 * H), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_stash_kernel, dims=dims),
-        grid=(n_pad // tile,),
+        functools.partial(_bwd_stash_kernel, dims=dims,
+                          compute_dpts=compute_dpts),
+        grid=(n_pad // bwd_tile,),
         in_specs=[
-            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bwd_tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bwd_tile, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
             act_spec, act_spec,
             pl.BlockSpec((D, d_freq), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, H), const, memory_space=pltpu.VMEM),
@@ -417,7 +463,15 @@ def _fused_mlp_stash_bwd(dims, tile, interpret, residuals, g):
             vmem_limit_bytes=100 * 1024 * 1024),
     )(pts, gy, hs, cs, k_mat, w_in, w_h, w_out)
 
-    dpts, dw_in, db_in, dw_h, db_h, dw_out, db_out = outs
+    if compute_dpts:
+        dpts, dw_in, db_in, dw_h, db_h, dw_out, db_out = outs
+        dpts = dpts[:n]
+    else:
+        # callers that disable dpts stop_gradient the points upstream (the
+        # renderer does: ray samples are data / detached), so the zero
+        # cotangent is exact — and the kernel skips ~0.7 ms of dead compute
+        dw_in, db_in, dw_h, db_h, dw_out, db_out = outs
+        dpts = jnp.zeros_like(points)
     dparams = {
         'w_in': dw_in, 'b_in': db_in.reshape(-1),
         'w_h': dw_h, 'b_h': db_h,
@@ -426,7 +480,7 @@ def _fused_mlp_stash_bwd(dims, tile, interpret, residuals, g):
     for k, v in params.items():
         if k not in dparams:
             dparams[k] = jnp.zeros_like(v)
-    return dparams, dpts[:n]
+    return dparams, dpts
 
 
 _fused_mlp_stash.defvjp(_fused_mlp_stash_fwd, _fused_mlp_stash_bwd)
@@ -575,7 +629,9 @@ _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
                    tile: int = 1024, bwd_tile: int = 256,
                    interpret: bool | None = None,
-                   stash: bool | None = None, stash_tile: int = 768) -> jnp.ndarray:
+                   stash: bool | None = None, stash_tile: int = 512,
+                   stash_bwd_tile: int = 768,
+                   compute_dpts: bool = True) -> jnp.ndarray:
     """Evaluate the SuNeRF MLP via the fused kernel. Returns raw [N, d_output]
     (base offsets NOT applied — the caller adds them, matching nerf_apply).
 
@@ -584,6 +640,10 @@ def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
     backward skips its recompute (fastest for training); stash=False uses the
     recompute backward (no activation memory — rendering/inference or very
     large point counts).
+    compute_dpts=False skips the point-cotangent computation in the stashing
+    backward (~0.7 ms/step): ONLY valid when the caller stop_gradients the
+    points (the renderer's ray samples are data/detached, so it does) — the
+    returned point grads are zeros.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -593,5 +653,6 @@ def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
     mlp_params = {k: params[k] for k in
                   ('w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out')}
     if stash:
-        return _fused_mlp_stash(dims, stash_tile, interpret, mlp_params, points)
+        return _fused_mlp_stash(dims, stash_tile, stash_bwd_tile, interpret,
+                                compute_dpts, mlp_params, points)
     return _fused_mlp(dims, tile, bwd_tile, interpret, mlp_params, points)

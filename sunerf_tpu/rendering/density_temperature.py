@@ -94,6 +94,11 @@ class DensityTemperatureHead:
         return {'image': image, 'weights': weights,
                 'regularizing_quantity': jnp.maximum(raw[..., 0], 0.0)}
 
+    def occupancy_activity(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """EUV emission scales with density squared (the rho^2 in the
+        quadrature above), so the occupancy criterion follows it."""
+        return jnp.exp(2.0 * jnp.maximum(raw[..., 0], 0.0))
+
     def regularization(self, distance: jnp.ndarray,
                        regularizing_quantity: jnp.ndarray) -> jnp.ndarray:
         """Penalize density beyond 1.25 Rsun (density_temperature.py:273-274)."""

@@ -62,6 +62,12 @@ class EmissionHead:
         return {'image': pixel_intensity, 'weights': weights,
                 'regularizing_quantity': transmission}
 
+    def occupancy_activity(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """Per-point scene activity for the occupancy grid (core/occupancy.py):
+        emission per unit length plus absorption — absorbing-but-dark regions
+        still shape the quadrature and must not be culled."""
+        return jnp.exp(raw[..., 0]) + jnp.maximum(raw[..., 1], 0.0)
+
     def regularization(self, distance: jnp.ndarray,
                        regularizing_quantity: jnp.ndarray) -> jnp.ndarray:
         """Penalize absorption beyond 1.2 Rsun.

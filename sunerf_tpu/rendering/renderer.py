@@ -15,6 +15,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from sunerf_tpu.core.occupancy import OccupancyConfig, occupancy_sample
 from sunerf_tpu.core.sampling import (hierarchical_sample, spherical_sample,
                                       stratified_sample)
 from sunerf_tpu.models.fields import FieldOutput
@@ -38,6 +39,10 @@ class Renderer:
     sampling: str = 'stratified'  # 'stratified' | 'spherical'
     perturb: bool = True
     perturb_hierarchical: bool = False
+    # opt-in occupancy-guided sampling (core/occupancy.py): when set AND the
+    # params carry an 'occupancy' grid, the stratified pass concentrates its
+    # samples into occupied space (off = reference parity)
+    occupancy: Optional[OccupancyConfig] = None
     # serializable description for checkpoint reconstruction (systems.from_spec)
     spec: Optional[dict] = None
 
@@ -45,10 +50,13 @@ class Renderer:
     def solar_radius(self) -> float:
         return 1.0 / self.Rs_per_ds
 
-    def _sample(self, rays_o, rays_d, key):
+    def _sample(self, rays_o, rays_d, key, occupancy_grid=None):
         kwargs = dict(n_samples=self.n_stratified,
                       distance=self.sample_distance / self.Rs_per_ds,
                       solar_radius=self.solar_radius, key=key)
+        if self.occupancy is not None and occupancy_grid is not None:
+            return occupancy_sample(rays_o, rays_d, occupancy_grid,
+                                    self.occupancy, **kwargs)
         if self.sampling == 'stratified':
             return stratified_sample(rays_o, rays_d, **kwargs)
         if self.sampling == 'spherical':
@@ -60,6 +68,11 @@ class Renderer:
         """Flatten query points, evaluate the field, run the head quadrature."""
         n_rays, n_samples = query_points_time.shape[:2]
         flat = query_points_time.reshape(-1, query_points_time.shape[-1])
+        # sample points carry no gradient: stratified z comes from data + PRNG,
+        # hierarchical z is detached (reference sampling.py:120), rays/times
+        # are data. Making that explicit lets the fused kernel skip its dead
+        # point-cotangent computation (systems._select_apply compute_dpts=False).
+        flat = jax.lax.stop_gradient(flat)
         field_out = self.field_apply(params, flat)
         raw = field_out.raw.reshape(n_rays, n_samples, -1)
         field_out = FieldOutput(raw=raw, log_abs=field_out.log_abs,
@@ -88,7 +101,9 @@ class Renderer:
         else:
             key_s = key_h = None
 
-        strat = self._sample(rays_o, rays_d, key_s if self.perturb else None)
+        occupancy_grid = params.get('occupancy') if isinstance(params, dict) else None
+        strat = self._sample(rays_o, rays_d, key_s if self.perturb else None,
+                             occupancy_grid=occupancy_grid)
         z_vals = strat['z_vals']
         qpt = _with_time(strat['points'], times)
 

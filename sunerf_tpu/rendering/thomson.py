@@ -81,6 +81,10 @@ class ThomsonHead:
                 'distance_from_sun': distance_from_sun,
                 'distance_from_obs': distance_from_obs}
 
+    def occupancy_activity(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """Electron density drives the scattered brightness."""
+        return 10.0 ** raw[..., 0]
+
     def regularization(self, distance: jnp.ndarray,
                        regularizing_quantity: jnp.ndarray) -> jnp.ndarray:
         # the reference defines no Thomson regularizer (head is orphaned there)

@@ -82,6 +82,28 @@ class Trainer:
             self.state = replicate(mesh, self.state)
 
         self.logger = logger or MetricsLogger(workdir)
+        self._occ_update_fn = self._make_occ_update()
+
+    def _make_occ_update(self):
+        """Jitted occupancy-grid EMA update (core/occupancy.py) from the fine
+        field; None when the renderer doesn't use occupancy sampling."""
+        occ_cfg = getattr(self.renderer, 'occupancy', None)
+        if occ_cfg is None:
+            return None
+        from sunerf_tpu.core.occupancy import update_occupancy
+        renderer = self.renderer
+
+        def update(params, key, t):
+            grid = update_occupancy(
+                params['occupancy'], occ_cfg, renderer.field_apply,
+                params['fine'], renderer.head.occupancy_activity, key, t,
+                solar_radius=renderer.solar_radius)
+            return grid
+        if self.mesh is None:
+            return jax.jit(update)
+        from sunerf_tpu.parallel.mesh import replicated_sharding
+        repl = replicated_sharding(self.mesh)
+        return jax.jit(update, out_shardings=repl)
 
     def _make_eval_many(self):
         """The chunked held-out render, ray-sharded over the mesh when one is
@@ -184,10 +206,21 @@ class Trainer:
                 return self.state
             batch = next(batches)
             batch = {k: np.ascontiguousarray(v) for k, v in batch.items()}
+            t0 = float(batch['time'].ravel()[0])  # host-side, no device sync
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
             self.state, metrics = self.step_fn(self.state, batch, key)
             timer.tick(batch['rays'].shape[0])
+
+            if self._occ_update_fn is not None:
+                occ = self.renderer.occupancy
+                if (step + 1) >= occ.warmup and (step + 1) % occ.update_every == 0:
+                    grid = self._occ_update_fn(
+                        self.state.params,
+                        jax.random.fold_in(jax.random.key(cfg.seed + 2), step),
+                        t0)
+                    self.state = self.state._replace(
+                        params=dict(self.state.params, occupancy=grid))
 
             if (step + 1) % cfg.log_every == 0:
                 # rate() fetches the loss scalar first, forcing completion of

@@ -80,12 +80,13 @@ def test_fused_stash_path_matches_reference():
     from sunerf_tpu.ops.pallas.fused_mlp import fused_nerf_raw
     mlp = {k: params[k] for k in ('w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out')}
     out = fused_nerf_raw(config, params, pts, interpret=True, stash=True,
-                         stash_tile=8)
+                         stash_tile=8, stash_bwd_tile=8)
     ref = nerf_apply(config, params, pts).raw
     assert float(jnp.max(jnp.abs(out - ref))) < 0.01 * float(jnp.max(jnp.abs(ref))) + 1e-4
     g_ref = jax.grad(lambda p: jnp.mean(nerf_apply(config, p, pts).raw ** 2))(params)
     g_st = jax.grad(lambda p: jnp.mean(fused_nerf_raw(
-        config, p, pts, interpret=True, stash=True, stash_tile=8) ** 2))(mlp)
+        config, p, pts, interpret=True, stash=True, stash_tile=8,
+        stash_bwd_tile=8) ** 2))(mlp)
     for k in g_st:
         a, b = np.asarray(g_ref[k]), np.asarray(g_st[k])
         rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
