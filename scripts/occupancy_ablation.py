@@ -31,7 +31,8 @@ def run_variant(name, data, workdir, steps, **render_kwargs):
     trainer = Trainer(
         renderer, init, data,
         loss_config=LossConfig(lambda_regularization=0.1, scaling_vmax=10.0),
-        optim_config=OptimConfig(lr_start=1e-4, lr_floor=5e-5),
+        # the convergent SimpleStar recipe (RESULTS.md: 38.5 dB in 3k steps)
+        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
         trainer_config=TrainerConfig(total_steps=steps, val_every=steps,
                                      checkpoint_every=steps,
                                      log_every=max(steps // 10, 1),
@@ -49,7 +50,7 @@ def run_variant(name, data, workdir, steps, **render_kwargs):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--steps', type=int, default=3000)
-    parser.add_argument('--resolution', type=int, default=64)
+    parser.add_argument('--resolution', type=int, default=128)
     parser.add_argument('--workdir', default=None)
     args = parser.parse_args()
 
@@ -61,9 +62,13 @@ def main():
     from sunerf_tpu.evaluation.image_render import render_observers
 
     workdir = args.workdir or tempfile.mkdtemp(prefix='occ_ablation_')
+    # all views share one timestamp: distinct times let the 4D field memorize
+    # per-time appearance and the held-out view scores ~8 dB regardless of
+    # sampling (RESULTS.md temporal note) — static views isolate the sampling
+    # comparison this script is for
     observers = [{'name': 'aia', 'lat': 5.0 * ((i % 3) - 1), 'lon': i * 45.0,
                   'distance': 215.0,
-                  'time': datetime(2012, 8, 20 + i).isoformat()}
+                  'time': datetime(2012, 8, 23).isoformat()}
                  for i in range(8)]
     render_observers({
         'model': 'SimpleStar',

@@ -57,6 +57,13 @@ class DensityTemperatureHead:
     pixel_intensity_factor: float = 1e10
     Rs_per_ds: float = 1.0
     d_output: int = 2
+    # hierarchical-resampling weights: 'density' is reference parity
+    # (relu(log density), density_temperature.py:266-268 — nearly uniform
+    # along the ray when the log-density is smooth); 'emission' weights by the
+    # attenuated integrand itself (rho^2 * response * transmission, summed
+    # over channels), placing fine samples where the pixel value actually
+    # forms. Opt-in quality improvement (ROADMAP 8), identical image math.
+    hierarchical_weighting: str = 'density'
 
     def raw2outputs(self, field_out: FieldOutput, z_vals: jnp.ndarray,
                     rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -88,7 +95,16 @@ class DensityTemperatureHead:
         image = trapz(integrand, z_vals[:, :-1]) * field_out.vol_c \
             * self.pixel_intensity_factor                          # [R, W]
 
-        w = jnp.maximum(raw[..., 0], 0.0)
+        if self.hierarchical_weighting == 'emission':
+            # the integrand the image integral actually sums (channel-summed,
+            # transmission-attenuated) — sample where the light comes from.
+            # Scale by the per-ray max first: absolute integrand values are
+            # ~1e-17 (AIA response units), far below the 1e-10 epsilon.
+            w = jnp.sum(integrand, axis=-1)                     # [R, S-1]
+            w = w / (jnp.max(w, axis=1, keepdims=True) + 1e-30)
+            w = jnp.concatenate([w, w[:, -1:]], axis=1)         # pad to [R, S]
+        else:
+            w = jnp.maximum(raw[..., 0], 0.0)
         weights = w / (jnp.sum(w, axis=1, keepdims=True) + 1e-10)
 
         return {'image': image, 'weights': weights,

@@ -112,21 +112,26 @@ def make_density_temperature_system(Rs_per_ds: float = 1.0,
                                     response: Optional[TemperatureResponse] = None,
                                     pixel_intensity_factor: float = 1e17,
                                     use_fused: Optional[bool] = None,
+                                    hierarchical_weighting: str = 'density',
                                     **render_kwargs):
     """DT SuNeRF: NeRF_DT field + multi-channel AIA synthesis
     (reference DensityTemperatureSuNeRFModule, sunerf.py:152-224; default
-    pixel_intensity_factor 1e17 from sunerf.py:155)."""
+    pixel_intensity_factor 1e17 from sunerf.py:155).
+    hierarchical_weighting='emission' opts into integrand-weighted fine
+    sampling (reference parity is 'density')."""
     config = model_config or density_temperature_config()
     response = response or load_aia_response()
     head = DensityTemperatureHead(response=response,
                                   pixel_intensity_factor=pixel_intensity_factor,
-                                  Rs_per_ds=Rs_per_ds)
+                                  Rs_per_ds=Rs_per_ds,
+                                  hierarchical_weighting=hierarchical_weighting)
     render_kwargs = _normalize_occupancy(render_kwargs)
     renderer = Renderer(field_apply=_select_apply(config, use_fused),
                         head=head, Rs_per_ds=Rs_per_ds,
                         spec=_spec('density_temperature', config, Rs_per_ds,
                                    render_kwargs,
-                                   pixel_intensity_factor=pixel_intensity_factor),
+                                   pixel_intensity_factor=pixel_intensity_factor,
+                                   hierarchical_weighting=hierarchical_weighting),
                         **render_kwargs)
 
     def init(key: jax.Array) -> dict:
@@ -226,6 +231,7 @@ def from_spec(spec: dict, use_fused: Optional[bool] = None):
         return make_density_temperature_system(
             Rs_per_ds=spec['Rs_per_ds'], model_config=config,
             pixel_intensity_factor=spec.get('pixel_intensity_factor', 1e17),
+            hierarchical_weighting=spec.get('hierarchical_weighting', 'density'),
             use_fused=use_fused, **kwargs)
     if head == 'simple_star':
         return make_simple_star_renderer(

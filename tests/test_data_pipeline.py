@@ -245,3 +245,29 @@ def test_checkpoint_roundtrip(tmp_path):
     assert cfg['type'] == 'emission'
     np.testing.assert_array_equal(loaded['coarse']['w_h'],
                                   np.asarray(params['coarse']['w_h']))
+
+
+def test_plot_data_thumbnails(tmp_path):
+    """QA thumbnails (data/plot_data.py, reference preprocessing/plot_data.py):
+    block-mean downsample, flat-frame detection, zip archive."""
+    from sunerf_tpu.data.fits import write_fits
+    from sunerf_tpu.data.plot_data import block_reduce_mean, plot_data
+
+    rng = np.random.default_rng(0)
+    good = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    flat = np.full((32, 32), 0.5, np.float32)
+    write_fits(str(tmp_path / 'a_good.fits'), good)
+    write_fits(str(tmp_path / 'b_flat.fits'), flat)
+
+    out = str(tmp_path / 'thumbs')
+    report = plot_data(str(tmp_path / '*.fits'), out, block=8)
+    assert report['n_frames'] == 2
+    assert report['flat_frames'] == [str(tmp_path / 'b_flat.fits')]
+    assert sorted(os.listdir(out)) == ['a_good.fits.jpg', 'b_flat.fits.jpg',
+                                       'flat_frames.txt']
+    assert os.path.exists(out + '.zip')
+
+    # block reduction is the mean over 8x8 tiles
+    np.testing.assert_allclose(
+        block_reduce_mean(good, 8),
+        good.reshape(4, 8, 4, 8).mean(axis=(1, 3)), rtol=1e-6)

@@ -95,3 +95,58 @@ def test_dt_regularization():
     head = DensityTemperatureHead(response=_toy_response())
     reg = head.regularization(jnp.full((2, 4), 2.0), jnp.full((2, 4), 3.0))
     np.testing.assert_allclose(np.asarray(reg), 0.75 * 3.0, rtol=1e-5)
+
+
+def test_emission_weighted_hierarchical_sampling():
+    """hierarchical_weighting='emission' (ROADMAP 8, opt-in): fine-sampling
+    weights follow the attenuated integrand instead of relu(log density) —
+    identical image, different (sharper) weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from sunerf_tpu.models.fields import FieldOutput
+    from sunerf_tpu.ops.tresp import load_aia_response
+    from sunerf_tpu.rendering.density_temperature import DensityTemperatureHead
+
+    resp = load_aia_response()
+    R, S = 4, 16
+    key = jax.random.key(0)
+    # density bump in the middle of the ray, constant log T
+    z = jnp.broadcast_to(jnp.linspace(0.0, 1.0, S), (R, S))
+    raw0 = 1.0 + 4.0 * jnp.exp(-((z - 0.5) / 0.08) ** 2)
+    raw = jnp.stack([raw0, jnp.full((R, S), 6.0)], axis=-1)
+    fo = FieldOutput(raw=raw, log_abs=jnp.full((7,), 0.1), vol_c=jnp.asarray(1.0))
+    rays_o = jnp.zeros((R, 3)).at[:, 0].set(4.0)
+    rays_d = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (R, 1))
+    wl = jnp.broadcast_to(jnp.asarray([193.0]), (R, 1))
+    qp = jnp.zeros((R, S, 3))
+
+    base = DensityTemperatureHead(response=resp)
+    emis = DensityTemperatureHead(response=resp,
+                                  hierarchical_weighting='emission')
+    out_b = base.raw2outputs(fo, z, rays_o, rays_d, qp, wl)
+    out_e = emis.raw2outputs(fo, z, rays_o, rays_d, qp, wl)
+
+    # image math identical
+    np.testing.assert_allclose(np.asarray(out_b['image']),
+                               np.asarray(out_e['image']), rtol=1e-6)
+    wb, we = np.asarray(out_b['weights']), np.asarray(out_e['weights'])
+    np.testing.assert_allclose(wb.sum(-1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(we.sum(-1), 1.0, rtol=1e-4)
+    # emission weights concentrate at the bump far harder than the nearly
+    # uniform density weights (rho^2 vs log rho)
+    assert we.max() > 2.0 * wb.max()
+    assert abs(we[0].argmax() - S // 2) <= 1
+
+
+def test_dt_system_spec_roundtrip_weighting():
+    from sunerf_tpu.models.fields import density_temperature_config
+    from sunerf_tpu.systems import from_spec, make_density_temperature_system
+
+    renderer, _ = make_density_temperature_system(
+        model_config=density_temperature_config(n_layers=2, d_filter=32,
+                                                n_freqs=3),
+        use_fused=False, hierarchical_weighting='emission')
+    assert renderer.spec['hierarchical_weighting'] == 'emission'
+    r2, _ = from_spec(renderer.spec, use_fused=False)
+    assert r2.head.hierarchical_weighting == 'emission'
