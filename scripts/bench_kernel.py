@@ -60,10 +60,29 @@ def main():
         report(f'fwd (no grad) tile={tile}', timeit(fwd, params, pts), flops_fwd)
 
     for tile in args.stash_tiles:
-        f = jax.jit(jax.grad(lambda p, x, t=tile: fused_nerf_raw(
-            config, p, x, stash=True, stash_tile=t).sum()))
-        report(f'stash fwd+bwd stash_tile={tile}',
-               timeit(f, params, pts), flops_bwd)
+        for fmt in ('int8', 'lsb', 'i8pair'):
+            f = jax.jit(jax.grad(lambda p, x, t=tile, m=fmt: fused_nerf_raw(
+                config, p, x, stash=True, stash_tile=t,
+                stash_format=m).sum()))
+            report(f'stash[{fmt}] fwd+bwd stash_tile={tile}',
+                   timeit(f, params, pts), flops_bwd)
+
+    # stashing forward alone (pallas fwd wrapper called directly — going
+    # through jax.vjp would let XLA DCE the stash outputs)
+    from sunerf_tpu.ops.pallas import fused_mlp as fm
+    dims = fm._dims_from_config(config)
+    mlp = {k: params[k] for k in ('w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out')}
+    for tile in args.stash_tiles:
+        for fmt in ('int8', 'lsb', 'i8pair'):
+            def fwd_only(p, x, t=tile, m=fmt):
+                out, (_, _, hs, cs) = fm._fused_mlp_stash_fwd(
+                    dims, t, t, False, False, m, p, x)
+                extra = hs[0, 0].astype(jnp.float32)
+                if cs is not None:
+                    extra = extra + cs[0, 0].astype(jnp.float32)
+                return out.sum() + extra
+            report(f'stash[{fmt}] fwd only stash_tile={tile}',
+                   timeit(jax.jit(fwd_only), mlp, pts), flops_fwd)
 
     for tile in args.bwd_tiles:
         f = jax.jit(jax.grad(lambda p, x, t=tile: fused_nerf_raw(

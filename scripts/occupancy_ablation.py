@@ -52,6 +52,14 @@ def main():
     parser.add_argument('--steps', type=int, default=3000)
     parser.add_argument('--resolution', type=int, default=128)
     parser.add_argument('--workdir', default=None)
+    parser.add_argument('--occ-stratified', type=int, default=32)
+    parser.add_argument('--occ-hierarchical', type=int, default=64)
+    parser.add_argument('--threshold', type=float, default=0.05)
+    parser.add_argument('--floor', type=float, default=0.02)
+    parser.add_argument('--skip-baseline', action='store_true')
+    parser.add_argument('--control', action='store_true',
+                        help='run the occ sample counts WITHOUT occupancy '
+                             '(isolates fewer-samples from grid guidance)')
     args = parser.parse_args()
 
     import jax
@@ -84,12 +92,27 @@ def main():
         os.path.join(workdir, 'renders', 'aia', '193', '*.fits'),
         os.path.join(workdir, 'work'), batch_size=1024)
 
-    a = run_variant('baseline', data, workdir, args.steps,
-                    n_stratified=64, n_hierarchical=128)
-    b = run_variant('occupancy', data, workdir, args.steps,
-                    n_stratified=32, n_hierarchical=64,
-                    occupancy={'enabled': True, 'warmup': 200,
-                               'update_every': 16})
+    if args.skip_baseline:
+        a = {'name': 'baseline', 'rays_per_sec': 48115.2,
+             'val_psnr': 36.83, 'val_ssim': 0.9803}  # measured 2026-08-16
+    else:
+        a = run_variant('baseline', data, workdir, args.steps,
+                        n_stratified=64, n_hierarchical=128)
+    if args.control:
+        tag = f'control_{args.occ_stratified}_{args.occ_hierarchical}'
+        b = run_variant(tag, data, workdir, args.steps,
+                        n_stratified=args.occ_stratified,
+                        n_hierarchical=args.occ_hierarchical)
+    else:
+        tag = f'occ_{args.occ_stratified}_{args.occ_hierarchical}' \
+              f'_t{args.threshold}_f{args.floor}'
+        b = run_variant(tag, data, workdir, args.steps,
+                        n_stratified=args.occ_stratified,
+                        n_hierarchical=args.occ_hierarchical,
+                        occupancy={'enabled': True, 'warmup': 200,
+                                   'update_every': 16,
+                                   'threshold': args.threshold,
+                                   'floor': args.floor})
     speedup = b['rays_per_sec'] / a['rays_per_sec']
     print(json.dumps({'baseline': a, 'occupancy': b,
                       'speedup': round(speedup, 3),

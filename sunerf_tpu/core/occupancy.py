@@ -171,6 +171,11 @@ def update_occupancy(grid: dict, config: OccupancyConfig,
 
     raw = field_apply(params, pts).raw.reshape(nr, nt, npp, -1)
     act = activity_fn(raw)
+    # clip at the 99.5th percentile before the mean: activities are
+    # unbounded (emission = exp(raw)), and a single transient hot cell can
+    # otherwise inflate the mean enough to cull the entire real scene in
+    # one update — a training death spiral observed at aggressive lr
+    act = jnp.minimum(act, jnp.percentile(act, 99.5))
     occupied = (act > config.threshold * jnp.mean(act)).astype(jnp.float32)
     return {
         'occ_r': jnp.maximum(grid['occ_r'] * config.decay,

@@ -135,17 +135,19 @@ def nerf_apply_fused(config: NeRFConfig, params: dict, points: jnp.ndarray,
                      interpret: bool | None = None,
                      stash: bool | None = None,
                      stash_tile: int = 512, stash_bwd_tile: int = 768,
-                     compute_dpts: bool = True) -> FieldOutput:
+                     compute_dpts: bool = True,
+                     stash_format: str = 'int8') -> FieldOutput:
     """Fused-Pallas-kernel evaluation: identical contract to nerf_apply, with
     posenc + all matmuls + sines in one VMEM-resident kernel
     (ops/pallas/fused_mlp.py). bf16 MXU passes with f32 accumulation.
     stash controls the activation-stashing backward (auto: on for TPU);
-    compute_dpts=False skips point cotangents (only with detached points)."""
+    compute_dpts=False skips point cotangents (only with detached points);
+    stash_format picks the activation-stash encoding (see fused_nerf_raw)."""
     from sunerf_tpu.ops.pallas.fused_mlp import fused_nerf_raw
     raw = fused_nerf_raw(config, params, points, tile=tile, bwd_tile=bwd_tile,
                          interpret=interpret, stash=stash,
                          stash_tile=stash_tile, stash_bwd_tile=stash_bwd_tile,
-                         compute_dpts=compute_dpts)
+                         compute_dpts=compute_dpts, stash_format=stash_format)
     if config.base_log_density or config.base_log_temperature:
         raw = raw + jnp.asarray(
             [config.base_log_density, config.base_log_temperature], raw.dtype)

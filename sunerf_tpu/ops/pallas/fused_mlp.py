@@ -30,6 +30,19 @@ Two backward variants, both accumulating weight grads in f32 VMEM *scratch*
   * recompute: re-runs the forward per tile keeping sin/cos in VMEM
     — for memory-constrained cases.
 
+Two alternative stash encodings exist behind stash_format= and measured
+SLOWER end-to-end at 262k points on v5e (kept as documented negative results;
+scripts/bench_kernel.py times all three):
+  * 'lsb': ONE bf16 stream, sign(cos) packed in the sin mantissa LSB, cos
+    reconstructed as sign*sqrt(1-sin^2) in the backward. Forward improves
+    9.6 -> 8.4 ms but the sqrt/bitop reconstruction adds ~3 ms of unhidden
+    VPU work to the backward: 21.2 -> 23.7 ms total.
+  * 'i8pair': ONE int8 stream with sin and cos side by side (2 B/point) and
+    the dW matmuls on the int8 MXU path with per-tile dynamic dz scales.
+    The fwd quantize work is unhidden (+0.7 ms) and the int8 dW contraction
+    only recovers ~0.5 ms (the [points-contracted] layout does not reach the
+    2x int8 MXU rate): 21.5 ms total — a wash.
+
 This replaces the reference's hot loop (NeRF MLP evaluation,
 sunerf/model/model.py:44-57 via rendering/base_tracing.py:118-129) — 95+% of
 the training FLOPs (SURVEY §3 CS1).
@@ -105,6 +118,41 @@ def fast_sincos_q(x):
     c = d0 + y2 * (d1 + y2 * (d2 + y2 * (d3 + y2 * d4)))
     cq = jnp.round(c * _COS_SCALE).astype(jnp.int8)
     return s, cq
+
+
+_HALF_PI_SQ = float((np.pi / 2.0) ** 2)
+
+
+def fast_sin_csign(x):
+    """(sin x f32, cos-is-negative bool) sharing one range reduction. After
+    reduction y is in [-pi, pi], where cos(y) < 0 iff y^2 > (pi/2)^2 — the
+    sign comes for free from the y^2 the polynomial needs anyway."""
+    y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
+    y2 = y * y
+    c0, c1, c2, c3, c4, c5 = _SIN_C
+    s = y * (c0 + y2 * (c1 + y2 * (c2 + y2 * (c3 + y2 * (c4 + y2 * c5)))))
+    return s, y2 > _HALF_PI_SQ
+
+
+def _pack_sin_csign(h, neg_cos):
+    """bf16 sin with sign(cos) encoded in the mantissa LSB (1 = cos < 0).
+    Costs <=1 ulp of sin accuracy (~0.4% relative) — below the bf16 matmul
+    noise the stash feeds."""
+    bits = jax.lax.bitcast_convert_type(h.astype(jnp.bfloat16), jnp.uint16)
+    bits = (bits & jnp.uint16(0xFFFE)) | neg_cos.astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+
+
+def _unpack_sin_cos(raw):
+    """Inverse of _pack_sin_csign: (sin bf16, cos bf16) with
+    cos = sign * sqrt(1 - sin^2). Absolute cos error ~ ulp(sin)*|sin|/|cos| —
+    worse than the int8 stash only where |cos| < ~0.1, exactly where the
+    gradient gate it feeds is small."""
+    bits = jax.lax.bitcast_convert_type(raw, jnp.uint16)
+    neg = (bits & jnp.uint16(1)) != jnp.uint16(0)
+    s32 = raw.astype(jnp.float32)
+    c = jnp.sqrt(jnp.maximum(1.0 - s32 * s32, 0.0))
+    return raw, jnp.where(neg, -c, c).astype(jnp.bfloat16)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -280,9 +328,63 @@ def _fwd_stash_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref,
     out_ref[:] = _mm(hb, w_out_ref[:]) + b_out_ref[:]
 
 
-def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
-                      w_h_ref, w_out_ref, *refs,
-                      dims: _Dims, compute_dpts: bool):
+def _fwd_stash_lsb_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref,
+                          b_h_ref, w_out_ref, b_out_ref, out_ref, hs_ref,
+                          *, dims: _Dims):
+    # single-stream stash: bf16 sin with sign(cos) packed into the mantissa
+    # LSB (see _pack_sin_csign). The second (cos) stash stream measurably
+    # costs ~2.5 ms of unhidden forward time regardless of its size/layout;
+    # this variant removes the stream entirely and reconstructs cos in the
+    # backward as sign * sqrt(1 - sin^2).
+    H = dims.d_filter
+    enc = _encode(pts_ref[:], k_ref)
+    z = _mm(enc, w_in_ref[:]) + b_in_ref[:]
+    h, negc = fast_sin_csign(z)
+    hb = h.astype(jnp.bfloat16)
+    hs_ref[:, 0:H] = _pack_sin_csign(hb, negc)
+    for i in range(dims.n_hidden):
+        z = _mm(hb, w_h_ref[i]) + b_h_ref[i]
+        h, negc = fast_sin_csign(z)
+        hb = h.astype(jnp.bfloat16)
+        hs_ref[:, (i + 1) * H:(i + 2) * H] = _pack_sin_csign(hb, negc)
+    out_ref[:] = _mm(hb, w_out_ref[:]) + b_out_ref[:]
+
+
+def _fwd_stash_i8pair_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref,
+                             b_h_ref, w_out_ref, b_out_ref, out_ref, hs_ref,
+                             *, dims: _Dims):
+    # single-stream int8 stash: per layer, sin (x127) and cos (x127) side by
+    # side in one [tile, 2*L1*H] int8 output — 2 bytes/point like the bf16
+    # sin stream alone, but ONE pipelined output (the second stream's ~2.5 ms
+    # unhidden cost disappears) and the backward gets an int8 sin operand for
+    # 2x-throughput int8 MXU dW matmuls.
+    H = dims.d_filter
+    enc = _encode(pts_ref[:], k_ref)
+    z = _mm(enc, w_in_ref[:]) + b_in_ref[:]
+    for i in range(dims.n_hidden + 1):
+        h, cq = fast_sincos_q(z)
+        hb = h.astype(jnp.bfloat16)
+        hs_ref[:, i * 2 * H:i * 2 * H + H] = (
+            jnp.round(h * _COS_SCALE).astype(jnp.int8))
+        hs_ref[:, i * 2 * H + H:(i + 1) * 2 * H] = cq
+        z = (_mm(hb, w_h_ref[i]) + b_h_ref[i] if i < dims.n_hidden
+             else _mm(hb, w_out_ref[:]) + b_out_ref[:])
+    out_ref[:] = z
+
+
+def _mm_i8(a, b):
+    """int8 x int8 -> int32 MXU matmul contracting the leading (points) axis
+    of both operands (the dW shape)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, *refs,
+                      dims: _Dims, compute_dpts: bool, fmt: str = 'int8'):
+    if fmt == 'int8':
+        cs_ref, *refs = refs
+    k_ref, w_in_ref, w_h_ref, w_out_ref, *refs = refs
     if compute_dpts:
         dpts_ref, *refs = refs
     (dw_in_hbm, db_in_hbm, dw_h_hbm, db_h_hbm, dw_out_hbm, db_out_hbm,
@@ -307,13 +409,42 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
 
     H = dims.d_filter
 
-    def hs(i):
-        return hs_ref[:, i * H:(i + 1) * H]
+    if fmt == 'i8pair':
+        def hs8(i):
+            return hs_ref[:, i * 2 * H:i * 2 * H + H]
 
-    def cs(i):
-        # dequantized int8 cos stash; the scale folds into one bf16 multiply
-        return (cs_ref[:, i * H:(i + 1) * H].astype(jnp.bfloat16)
-                * jnp.bfloat16(_INV_COS_SCALE))
+        def hs(i):
+            return hs8(i).astype(jnp.bfloat16) * jnp.bfloat16(_INV_COS_SCALE)
+
+        def cs(i):
+            return (hs_ref[:, i * 2 * H + H:(i + 1) * 2 * H]
+                    .astype(jnp.bfloat16) * jnp.bfloat16(_INV_COS_SCALE))
+
+        def dw(i, dz):
+            # int8 MXU dW: quantize dz per (tile, layer) with a dynamic
+            # absmax scale; sin is already int8 in the stash. 2x the bf16
+            # matmul throughput on v5e; int32 accumulation is exact
+            # (768 * 127 * 127 << 2^31)
+            # reduce in f32 (Mosaic only materializes 32-bit scalars)
+            m = jnp.max(jnp.abs(dz).astype(jnp.float32))
+            scale = jnp.where(m > 0, _COS_SCALE / m, 0.0)
+            dz8 = jnp.round(dz.astype(jnp.float32) * scale).astype(jnp.int8)
+            return (_mm_i8(hs8(i), dz8).astype(jnp.float32)
+                    * (m * (_INV_COS_SCALE * _INV_COS_SCALE)))
+    else:
+        def hs(i):
+            return hs_ref[:, i * H:(i + 1) * H]
+
+        def cs(i):
+            if fmt == 'lsb':
+                # reconstructed from the packed sin stash: sign*sqrt(1-sin^2)
+                return _unpack_sin_cos(hs(i))[1]
+            # dequantized int8 cos stash; scale folds into one bf16 multiply
+            return (cs_ref[:, i * H:(i + 1) * H].astype(jnp.bfloat16)
+                    * jnp.bfloat16(_INV_COS_SCALE))
+
+        def dw(i, dz):
+            return _mm_t(hs(i), dz, 0, 0)
 
     dy = dy_ref[:]
     dw_out_acc[:] += _mm_t(hs(dims.n_hidden), dy, 0, 0)
@@ -324,7 +455,7 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, cs_ref, k_ref, w_in_ref,
     # VPU multiply runs at twice the f32 lane throughput
     for i in range(dims.n_hidden - 1, -1, -1):
         dz = dh.astype(jnp.bfloat16) * cs(i + 1)
-        dw_h_acc[i] += _mm_t(hs(i), dz, 0, 0)
+        dw_h_acc[i] += dw(i, dz)
         db_h_acc[i] += jnp.sum(dz, axis=0, dtype=jnp.float32)
         dh = _mm_t(dz, w_h_ref[i], 1, 1)
 
@@ -358,9 +489,9 @@ def _lcm(a: int, b: int) -> int:
     return a * b // math.gcd(a, b)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _fused_mlp_stash(dims: _Dims, tile: int, bwd_tile: int, interpret: bool,
-                     compute_dpts: bool,
+                     compute_dpts: bool, fmt: str,
                      params: dict, points: jnp.ndarray) -> jnp.ndarray:
     # primal (no-grad) path: the lean forward — no activation stashing, so
     # inference renders of millions of points never allocate the stash; the
@@ -369,7 +500,7 @@ def _fused_mlp_stash(dims: _Dims, tile: int, bwd_tile: int, interpret: bool,
                           params, points)[0]
 
 
-def _fused_mlp_stash_fwd(dims, tile, bwd_tile, interpret, compute_dpts,
+def _fused_mlp_stash_fwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
                          params, points):
     n = points.shape[0]
     # the forward and backward use different tile sizes (v5e sweet spots:
@@ -383,10 +514,23 @@ def _fused_mlp_stash_fwd(dims, tile, bwd_tile, interpret, compute_dpts,
 
     const = lambda *_: (0, 0)
     const3 = lambda *_: (0, 0, 0)
-    act_spec = pl.BlockSpec((tile, L1 * H), lambda i: (i, 0),
+    single = fmt in ('lsb', 'i8pair')
+    hs_cols = 2 * L1 * H if fmt == 'i8pair' else L1 * H
+    hs_dtype = jnp.int8 if fmt == 'i8pair' else jnp.bfloat16
+    act_spec = pl.BlockSpec((tile, hs_cols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out, hs, cs = pl.pallas_call(
-        functools.partial(_fwd_stash_kernel, dims=dims),
+    kernel = {'lsb': _fwd_stash_lsb_kernel,
+              'i8pair': _fwd_stash_i8pair_kernel,
+              'int8': _fwd_stash_kernel}[fmt]
+    out_specs = (pl.BlockSpec((tile, dims.d_output), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 act_spec) + (() if single else (act_spec,))
+    out_shape = (jax.ShapeDtypeStruct((n_pad, dims.d_output), jnp.float32),
+                 jax.ShapeDtypeStruct((n_pad, hs_cols), hs_dtype)) \
+        + (() if single else
+           (jax.ShapeDtypeStruct((n_pad, L1 * H), jnp.int8),))
+    outs = pl.pallas_call(
+        functools.partial(kernel, dims=dims),
         grid=(n_pad // tile,),
         in_specs=[
             pl.BlockSpec((tile, dims.d_input), lambda i: (i, 0),
@@ -399,24 +543,21 @@ def _fused_mlp_stash_fwd(dims, tile, bwd_tile, interpret, compute_dpts,
             pl.BlockSpec((H, dims.d_output), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dims.d_output), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((tile, dims.d_output), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            act_spec, act_spec,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_pad, dims.d_output), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, L1 * H), jnp.bfloat16),
-            jax.ShapeDtypeStruct((n_pad, L1 * H), jnp.int8),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(pts, k_mat, w_in, b_in, w_h, b_h, w_out, b_out)
+    if single:
+        out, hs = outs
+        cs = None
+    else:
+        out, hs, cs = outs
     return out[:n], (params, points, hs, cs)
 
 
-def _fused_mlp_stash_bwd(dims, tile, bwd_tile, interpret, compute_dpts,
+def _fused_mlp_stash_bwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
                          residuals, g):
     params, points, hs, cs = residuals
     n = points.shape[0]
@@ -437,17 +578,23 @@ def _fused_mlp_stash_bwd(dims, tile, bwd_tile, interpret, compute_dpts,
                                memory_space=pltpu.VMEM)] if compute_dpts else []
     out_shapes = dpts_shapes + [jax.ShapeDtypeStruct(s, f) for s in grad_shapes]
     out_specs = dpts_specs + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6
-    act_spec = pl.BlockSpec((bwd_tile, L1 * H), lambda i: (i, 0),
+    single = fmt in ('lsb', 'i8pair')
+    hs_cols = 2 * L1 * H if fmt == 'i8pair' else L1 * H
+    act_spec = pl.BlockSpec((bwd_tile, hs_cols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    cs_spec = pl.BlockSpec((bwd_tile, L1 * H), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    cs_specs = [] if single else [cs_spec]
+    cs_args = () if single else (cs,)
 
     outs = pl.pallas_call(
         functools.partial(_bwd_stash_kernel, dims=dims,
-                          compute_dpts=compute_dpts),
+                          compute_dpts=compute_dpts, fmt=fmt),
         grid=(n_pad // bwd_tile,),
         in_specs=[
             pl.BlockSpec((bwd_tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bwd_tile, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            act_spec, act_spec,
+            act_spec, *cs_specs,
             pl.BlockSpec((D, d_freq), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((E, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, H, H), const3, memory_space=pltpu.VMEM),
@@ -461,7 +608,7 @@ def _fused_mlp_stash_bwd(dims, tile, bwd_tile, interpret, compute_dpts,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(pts, gy, hs, cs, k_mat, w_in, w_h, w_out)
+    )(pts, gy, hs, *cs_args, k_mat, w_in, w_h, w_out)
 
     if compute_dpts:
         dpts, dw_in, db_in, dw_h, db_h, dw_out, db_out = outs
@@ -631,7 +778,8 @@ def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
                    interpret: bool | None = None,
                    stash: bool | None = None, stash_tile: int = 512,
                    stash_bwd_tile: int = 768,
-                   compute_dpts: bool = True) -> jnp.ndarray:
+                   compute_dpts: bool = True,
+                   stash_format: str = 'int8') -> jnp.ndarray:
     """Evaluate the SuNeRF MLP via the fused kernel. Returns raw [N, d_output]
     (base offsets NOT applied — the caller adds them, matching nerf_apply).
 
@@ -644,6 +792,10 @@ def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
     backward (~0.7 ms/step): ONLY valid when the caller stop_gradients the
     points (the renderer's ray samples are data/detached, so it does) — the
     returned point grads are zeros.
+    stash_format='lsb' (default) writes ONE bf16 stash stream with sign(cos)
+    packed in the sin mantissa LSB (cos reconstructed as sign*sqrt(1-sin^2)
+    in the backward); 'int8' writes a second int8 cos stream (higher cos
+    precision where |cos| < ~0.1, ~2.5 ms/step slower on v5e).
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -654,5 +806,5 @@ def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
                   ('w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out')}
     if stash:
         return _fused_mlp_stash(dims, stash_tile, stash_bwd_tile, interpret,
-                                compute_dpts, mlp_params, points)
+                                compute_dpts, stash_format, mlp_params, points)
     return _fused_mlp(dims, tile, bwd_tile, interpret, mlp_params, points)

@@ -229,6 +229,14 @@ class Trainer:
                 rate = timer.rate(sync_value=metrics['loss'])
                 m = {k: float(v) for k, v in metrics.items()}
                 m['rays_per_sec'] = rate
+                if self._occ_update_fn is not None:
+                    # grid health: collapse diagnosis needs the occupied
+                    # fractions alongside the loss trajectory
+                    g = self.state.params['occupancy']
+                    m['occ_r_frac'] = float(
+                        (np.asarray(g['occ_r']) > 0.5).mean())
+                    m['occ_ang_frac'] = float(
+                        (np.asarray(g['occ_ang']) > 0.5).mean())
                 if not np.isfinite(m['loss']):
                     raise FloatingPointError(
                         f'! [Numerical Alert] non-finite loss at step {step + 1}')

@@ -157,6 +157,10 @@ def test_closed_loop_with_occupancy(rendered_views, tmp_path):
         recs = [json.loads(line) for line in f]
     losses = [r['loss'] for r in recs if 'loss' in r]
     assert losses[-1] < losses[0], f'loss did not drop: {losses}'
+    # grid-health diagnostics ride along with the training metrics
+    fracs = [r for r in recs if 'occ_r_frac' in r]
+    assert fracs and 0.0 <= fracs[-1]['occ_r_frac'] <= 1.0
+    assert 0.0 <= fracs[-1]['occ_ang_frac'] <= 1.0
 
     # the EMA updates ran at steps 10/15/20/25/30 (warmup inclusive):
     # decay-only -> 0.9^5 exactly

@@ -93,6 +93,78 @@ def test_fused_stash_path_matches_reference():
         assert rel < 0.03, f'{k}: {rel}'
 
 
+def test_fused_stash_lsb_matches_reference():
+    """The single-stream LSB stash (sign(cos) packed in the sin mantissa LSB,
+    cos reconstructed as sign*sqrt(1-sin^2)) in interpret mode."""
+    config = emission_config(**TINY)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.normal(jax.random.key(1), (24, 4))
+    from sunerf_tpu.ops.pallas.fused_mlp import fused_nerf_raw
+    mlp = {k: params[k] for k in ('w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out')}
+    out = fused_nerf_raw(config, params, pts, interpret=True, stash=True,
+                         stash_tile=8, stash_bwd_tile=8, stash_format='lsb')
+    ref = nerf_apply(config, params, pts).raw
+    assert float(jnp.max(jnp.abs(out - ref))) < 0.01 * float(jnp.max(jnp.abs(ref))) + 1e-4
+    g_ref = jax.grad(lambda p: jnp.mean(nerf_apply(config, p, pts).raw ** 2))(params)
+    g_st = jax.grad(lambda p: jnp.mean(fused_nerf_raw(
+        config, p, pts, interpret=True, stash=True, stash_tile=8,
+        stash_bwd_tile=8, stash_format='lsb') ** 2))(mlp)
+    for k in g_st:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_st[k])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
+        assert rel < 0.04, f'{k}: {rel}'
+
+
+def test_fused_stash_i8pair_matches_reference():
+    """The single-stream paired-int8 stash (sin and cos both int8 in one
+    stream; dW matmuls run on the int8 MXU path) in interpret mode."""
+    config = emission_config(**TINY)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.normal(jax.random.key(1), (24, 4))
+    from sunerf_tpu.ops.pallas.fused_mlp import fused_nerf_raw
+    mlp = {k: params[k] for k in ('w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out')}
+    out = fused_nerf_raw(config, params, pts, interpret=True, stash=True,
+                         stash_tile=8, stash_bwd_tile=8, stash_format='i8pair')
+    ref = nerf_apply(config, params, pts).raw
+    assert float(jnp.max(jnp.abs(out - ref))) < 0.01 * float(jnp.max(jnp.abs(ref))) + 1e-4
+    g_ref = jax.grad(lambda p: jnp.mean(nerf_apply(config, p, pts).raw ** 2))(params)
+    g_st = jax.grad(lambda p: jnp.mean(fused_nerf_raw(
+        config, p, pts, interpret=True, stash=True, stash_tile=8,
+        stash_bwd_tile=8, stash_format='i8pair') ** 2))(mlp)
+    for k in g_st:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_st[k])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
+        # int8-quantized sin/dz operands: coarser than the bf16 paths
+        assert rel < 0.06, f'{k}: {rel}'
+
+
+def test_pack_unpack_sin_csign():
+    """Round-trip of the LSB packing: sin within 1 ulp, cos sign exact,
+    reconstructed cos within ~1% absolute away from the |cos|~0 singularity."""
+    from sunerf_tpu.ops.pallas.fused_mlp import (_pack_sin_csign,
+                                                 _unpack_sin_cos,
+                                                 fast_sin_csign)
+    z = jnp.linspace(-30.0, 30.0, 4097).reshape(-1, 1)
+    s, negc = fast_sin_csign(z)
+    packed = _pack_sin_csign(s.astype(jnp.bfloat16), negc)
+    s2, c2 = _unpack_sin_cos(packed)
+    assert float(jnp.max(jnp.abs(s2.astype(jnp.float32) - s))) < 0.01
+    ctrue = np.cos(np.asarray(z, np.float64))
+    c2 = np.asarray(c2, np.float64)
+    # reconstruction profile: |cos| <~ 0.09 is a dead zone (bf16 sin rounds
+    # to 1.0 there, so cos reconstructs as +-0); outside it the sign is exact
+    mask = np.abs(ctrue) > 0.1
+    assert np.all((c2[mask] != 0) & (np.sign(c2[mask]) == np.sign(ctrue[mask])))
+    # absolute error ~ 1.5*ulp(sin) * |sin/cos| (bf16 round + LSB corruption)
+    mask = np.abs(ctrue) > 0.15
+    assert float(np.max(np.abs(c2[mask] - ctrue[mask]))) < 0.045
+    mask = np.abs(ctrue) > 0.5
+    assert float(np.max(np.abs(c2[mask] - ctrue[mask]))) < 0.015
+    # inside the dead zone the reconstruction is small (never wild)
+    dead = np.abs(ctrue) < 0.09
+    assert float(np.max(np.abs(c2[dead]))) < 0.2
+
+
 def test_fused_dt_config_aux_passthrough():
     config = density_temperature_config(**TINY)
     params = init_nerf(jax.random.key(0), config)
