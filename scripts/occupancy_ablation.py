@@ -33,6 +33,9 @@ def run_variant(name, data, workdir, steps, **render_kwargs):
         loss_config=LossConfig(lambda_regularization=0.1, scaling_vmax=10.0),
         # the convergent SimpleStar recipe (RESULTS.md: 38.5 dB in 3k steps)
         optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+        # the flat-1e-3 recipe sits on an Adam+sine knife edge: one spike
+        # step can collapse the run for good (RESULTS.md stability note)
+        spike_guard=3.0,
         trainer_config=TrainerConfig(total_steps=steps, val_every=steps,
                                      checkpoint_every=steps,
                                      log_every=max(steps // 10, 1),

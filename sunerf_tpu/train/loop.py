@@ -53,7 +53,8 @@ class Trainer:
                  trainer_config: TrainerConfig = TrainerConfig(),
                  workdir: str = './workdir', mesh=None,
                  logger: Optional[MetricsLogger] = None,
-                 microbatch: Optional[int] = None):
+                 microbatch: Optional[int] = None,
+                 spike_guard: Optional[float] = None):
         self.renderer = renderer
         self.data = data
         self.config = trainer_config
@@ -66,7 +67,8 @@ class Trainer:
 
         self.optimizer = make_optimizer(optim_config)
         self.step_fn = make_train_step(renderer, loss_config, self.optimizer,
-                                       mesh=mesh, microbatch=microbatch)
+                                       mesh=mesh, microbatch=microbatch,
+                                       spike_guard=spike_guard)
         self.eval_fn = make_eval_step(renderer, mesh=mesh)
         self._eval_many = self._make_eval_many()
         self.loss_config = loss_config

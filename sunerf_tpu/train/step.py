@@ -25,17 +25,47 @@ class TrainState(NamedTuple):
     params: dict       # {'coarse': pytree, 'fine': pytree}
     opt_state: optax.OptState
     step: jnp.ndarray  # scalar int32
+    # running loss EMA for the spike guard; -1 = uninitialized. Present in
+    # every state (tree structure stays stable whether the guard is on or
+    # off); only updated when make_train_step(spike_guard=...) is set.
+    loss_ema: Optional[jnp.ndarray] = None
 
 
 def create_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
     return TrainState(params=params, opt_state=optimizer.init(params),
-                      step=jnp.asarray(0, jnp.int32))
+                      step=jnp.asarray(0, jnp.int32),
+                      loss_ema=jnp.asarray(-1.0, jnp.float32))
+
+
+def _guarded_update(optimizer, state: TrainState, grads, loss,
+                    spike_guard: Optional[float]):
+    """Apply the optimizer update; with spike_guard set, SKIP it (params,
+    opt_state unchanged) when the batch loss exceeds spike_guard x the loss
+    EMA — a deterministic Adam+sine-MLP collapse mode observed on the
+    SimpleStar closed loop (loss x100 at one step, no recovery; RESULTS.md
+    round-2 stability note). The skipped step also leaves the EMA untouched
+    so a sustained plateau cannot ratchet the guard open. Off by default
+    (reference parity: the reference has no failure detection, SURVEY §5)."""
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    if spike_guard is None:
+        return params, opt_state, state.loss_ema, jnp.asarray(0.0)
+    ema = state.loss_ema
+    ok = jnp.isfinite(loss) & ((ema < 0) | (loss <= spike_guard * ema))
+    keep = lambda n, o: jax.tree.map(
+        lambda a, b: jnp.where(ok, a, b), n, o)
+    params = keep(params, state.params)
+    opt_state = keep(opt_state, state.opt_state)
+    new_ema = jnp.where(ema < 0, loss, 0.99 * ema + 0.01 * loss)
+    new_ema = jnp.where(ok, new_ema, ema)
+    return params, opt_state, new_ema, 1.0 - ok.astype(jnp.float32)
 
 
 def make_train_step(renderer: Renderer, loss_config: LossConfig,
                     optimizer: optax.GradientTransformation,
                     mesh=None, donate: bool = True,
-                    microbatch: Optional[int] = None):
+                    microbatch: Optional[int] = None,
+                    spike_guard: Optional[float] = None):
     """Build the jitted train step.
 
     Args:
@@ -46,6 +76,9 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
             over batch//microbatch sequential chunks (lax.scan), bounding
             activation memory for very large ray batches while keeping one
             optimizer step per global batch.
+        spike_guard: optional factor k: skip the optimizer update whenever
+            the batch loss exceeds k x its running EMA (see _guarded_update).
+            Metrics gain 'update_skipped' (0/1) when enabled.
 
     Returns:
         step_fn(state, batch, key) -> (state, metrics). batch keys: rays
@@ -99,9 +132,11 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
         def step_fn(state: TrainState, batch: dict, key: jax.Array):
             key = jax.random.fold_in(key, state.step)
             grads, metrics = grad_of_batch(state.params, batch, key)
-            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), metrics
+            params, opt_state, ema, skipped = _guarded_update(
+                optimizer, state, grads, metrics['loss'], spike_guard)
+            if spike_guard is not None:
+                metrics = dict(metrics, update_skipped=skipped)
+            return TrainState(params, opt_state, state.step + 1, ema), metrics
 
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -126,9 +161,11 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
     def step_fn(state: TrainState, batch: dict, key: jax.Array):
         key = jax.random.fold_in(key, state.step)
         grads, metrics = sharded_grad(state.params, batch, key)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        params, opt_state, ema, skipped = _guarded_update(
+            optimizer, state, grads, metrics['loss'], spike_guard)
+        if spike_guard is not None:
+            metrics = dict(metrics, update_skipped=skipped)
+        return TrainState(params, opt_state, state.step + 1, ema), metrics
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)

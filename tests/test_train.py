@@ -94,6 +94,38 @@ def test_train_step_metrics_finite():
         assert np.isfinite(float(v)), k
 
 
+def test_spike_guard_skips_bad_update():
+    """With spike_guard on, a batch whose loss exceeds k x the loss EMA leaves
+    params and opt_state untouched (and the EMA unpoisoned); normal batches
+    still update (failure-detection feature; absent upstream, SURVEY §5)."""
+    renderer, params, batch = _tiny_setup()
+    loss_config = LossConfig(lambda_regularization=0.0)
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3))
+    step = make_train_step(renderer, loss_config, optimizer, spike_guard=3.0)
+    state = create_train_state(params, optimizer)
+    key = jax.random.key(7)
+
+    for _ in range(3):
+        state, metrics = step(state, batch, key)
+    assert float(metrics['update_skipped']) == 0.0
+    ema = float(state.loss_ema)
+    assert ema > 0
+
+    poisoned = dict(batch, target_image=batch['target_image'] + 1e3)
+    before = jax.tree.map(np.asarray, state.params)
+    state, metrics = step(state, poisoned, key)
+    assert float(metrics['update_skipped']) == 1.0
+    after = jax.tree.map(np.asarray, state.params)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert float(state.loss_ema) == ema  # spike does not enter the EMA
+    assert int(state.step) == 4  # the step counter still advances
+
+    # recovery: the next normal batch updates again
+    state, metrics = step(state, batch, key)
+    assert float(metrics['update_skipped']) == 0.0
+
+
 def test_genx_reader_roundtrip():
     from sunerf_tpu.data.genx import read_genx
     d = read_genx('/root/reference/sunerf/data/aia_temp_resp.genx')
