@@ -19,7 +19,7 @@ from datetime import datetime
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_variant(name, data, workdir, steps, **render_kwargs):
+def run_variant(name, data, workdir, steps, seed=7, **render_kwargs):
     import numpy as np
 
     from sunerf_tpu.systems import make_emission_system
@@ -31,15 +31,20 @@ def run_variant(name, data, workdir, steps, **render_kwargs):
     trainer = Trainer(
         renderer, init, data,
         loss_config=LossConfig(lambda_regularization=0.1, scaling_vmax=10.0),
-        # the convergent SimpleStar recipe (RESULTS.md: 38.5 dB in 3k steps)
-        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
-        # the flat-1e-3 recipe sits on an Adam+sine knife edge: one spike
-        # step can collapse the run for good (RESULTS.md stability note)
-        spike_guard=3.0,
+        # decaying recipe: flat 1e-3 never settles (train PSNR oscillates
+        # +-2.5 dB forever, so the end-of-run validation snapshot is noise-
+        # dominated and occasionally the run collapses outright — RESULTS.md
+        # stability note); decaying to 1e-4 over the run converges the
+        # comparison before it is measured
+        optim_config=OptimConfig(lr_start=1e-3, lr_end=1e-4,
+                                 lr_iterations=steps, lr_floor=1e-4),
+        # k=10: the observed collapse spike is ~200x while normal batch-loss
+        # variance stays under ~3x (k=3 misfired on bright-limb batches)
+        spike_guard=10.0,
         trainer_config=TrainerConfig(total_steps=steps, val_every=steps,
                                      checkpoint_every=steps,
                                      log_every=max(steps // 10, 1),
-                                     save_val_images=False),
+                                     save_val_images=False, seed=seed),
         workdir=os.path.join(workdir, name))
     trainer.fit()
     with open(os.path.join(workdir, name, 'metrics.jsonl')) as f:
@@ -63,6 +68,12 @@ def main():
     parser.add_argument('--control', action='store_true',
                         help='run the occ sample counts WITHOUT occupancy '
                              '(isolates fewer-samples from grid guidance)')
+    parser.add_argument('--matrix', action='store_true',
+                        help='run the full {baseline, control, occ} x '
+                             '{64/128, 40/80, 32/64} x seeds grid and print '
+                             'a mean+-std summary (overrides the other '
+                             'variant flags)')
+    parser.add_argument('--seeds', type=int, nargs='+', default=[7, 8, 9])
     args = parser.parse_args()
 
     import jax
@@ -94,6 +105,38 @@ def main():
     data = build_single_channel_data(
         os.path.join(workdir, 'renders', 'aia', '193', '*.fits'),
         os.path.join(workdir, 'work'), batch_size=1024)
+
+    if args.matrix:
+        import numpy as np
+        occ = {'enabled': True, 'warmup': 200, 'update_every': 16,
+               'threshold': args.threshold, 'floor': args.floor}
+        configs = [
+            ('baseline_64_128', dict(n_stratified=64, n_hierarchical=128)),
+            ('control_40_80', dict(n_stratified=40, n_hierarchical=80)),
+            ('occ_40_80', dict(n_stratified=40, n_hierarchical=80,
+                               occupancy=occ)),
+            ('control_32_64', dict(n_stratified=32, n_hierarchical=64)),
+            ('occ_32_64', dict(n_stratified=32, n_hierarchical=64,
+                               occupancy=occ)),
+        ]
+        summary = {}
+        for cname, kwargs in configs:
+            runs = [run_variant(f'{cname}_s{s}', data, workdir, args.steps,
+                                seed=s, **kwargs) for s in args.seeds]
+            psnrs = [r['val_psnr'] for r in runs]
+            ssims = [r['val_ssim'] for r in runs]
+            summary[cname] = {
+                'rays_per_sec': round(float(np.median(
+                    [r['rays_per_sec'] for r in runs])), 1),
+                'psnr_mean': round(float(np.mean(psnrs)), 2),
+                'psnr_std': round(float(np.std(psnrs)), 2),
+                'psnr_runs': [round(p, 2) for p in psnrs],
+                'ssim_mean': round(float(np.mean(ssims)), 4),
+            }
+            print(json.dumps({cname: summary[cname]}), flush=True)
+        print(json.dumps({'matrix': summary, 'seeds': args.seeds,
+                          'threshold': args.threshold, 'floor': args.floor}))
+        return
 
     if args.skip_baseline:
         a = {'name': 'baseline', 'rays_per_sec': 48115.2,

@@ -75,7 +75,8 @@ class Trainer:
 
         params = init_params(jax.random.key(trainer_config.seed)) \
             if callable(init_params) else init_params
-        self.state = create_train_state(params, self.optimizer)
+        self.state = create_train_state(params, self.optimizer,
+                                        spike_guard=spike_guard is not None)
 
         restored = restore_train_checkpoint(workdir, self.state)
         if restored is not None:

@@ -25,40 +25,67 @@ class TrainState(NamedTuple):
     params: dict       # {'coarse': pytree, 'fine': pytree}
     opt_state: optax.OptState
     step: jnp.ndarray  # scalar int32
-    # running loss EMA for the spike guard; -1 = uninitialized. Present in
-    # every state (tree structure stays stable whether the guard is on or
-    # off); only updated when make_train_step(spike_guard=...) is set.
+    # spike-guard state (None / absent unless make_train_step(spike_guard=k)
+    # built the step): running loss EMA (-1 = uninitialized) and the
+    # last-HEALTHY (params, opt_state) snapshot the guard rolls back to.
     loss_ema: Optional[jnp.ndarray] = None
+    snapshot: Optional[tuple] = None
 
 
-def create_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
-    return TrainState(params=params, opt_state=optimizer.init(params),
-                      step=jnp.asarray(0, jnp.int32),
-                      loss_ema=jnp.asarray(-1.0, jnp.float32))
+def create_train_state(params: dict, optimizer: optax.GradientTransformation,
+                       spike_guard: bool = False) -> TrainState:
+    opt_state = optimizer.init(params)
+    # the snapshot must not ALIAS params/opt_state buffers: the jitted step
+    # donates the whole state, and donating the same buffer through two tree
+    # leaves is an XLA error
+    snap = (jax.tree.map(jnp.copy, params),
+            jax.tree.map(jnp.copy, opt_state)) if spike_guard else None
+    return TrainState(
+        params=params, opt_state=opt_state,
+        step=jnp.asarray(0, jnp.int32),
+        loss_ema=jnp.asarray(-1.0, jnp.float32),
+        snapshot=snap)
 
 
 def _guarded_update(optimizer, state: TrainState, grads, loss,
                     spike_guard: Optional[float]):
-    """Apply the optimizer update; with spike_guard set, SKIP it (params,
-    opt_state unchanged) when the batch loss exceeds spike_guard x the loss
-    EMA — a deterministic Adam+sine-MLP collapse mode observed on the
-    SimpleStar closed loop (loss x100 at one step, no recovery; RESULTS.md
-    round-2 stability note). The skipped step also leaves the EMA untouched
-    so a sustained plateau cannot ratchet the guard open. Off by default
-    (reference parity: the reference has no failure detection, SURVEY §5)."""
+    """Apply the optimizer update; with spike_guard set, detect loss spikes
+    and ROLL BACK to the last healthy state.
+
+    Failure mode this guards (observed, deterministic, RESULTS.md round-2
+    stability note): at aggressive flat lr the Adam+sine-MLP system can ramp
+    its loss x250 within a few tens of steps and never recover. A skip-only
+    guard freezes too late — by the time loss exceeds k x EMA the params are
+    already destroyed. So the guard keeps a SNAPSHOT of (params, opt_state),
+    refreshed only while the batch loss is healthy (<= refresh x EMA, i.e.
+    the EMA is tracking, not lagging a ramp), and on a trip
+    (loss > k x EMA or non-finite) restores the snapshot wholesale. Training
+    then resumes from pre-ramp state on fresh batches/keys; a deterministic
+    re-ramp degenerates to fail-closed at the last healthy params.
+
+    Off by default (reference parity: no failure detection upstream,
+    SURVEY §5). Returns (params, opt_state, ema, snapshot, tripped)."""
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     if spike_guard is None:
-        return params, opt_state, state.loss_ema, jnp.asarray(0.0)
+        return params, opt_state, state.loss_ema, state.snapshot, jnp.asarray(0.0)
     ema = state.loss_ema
-    ok = jnp.isfinite(loss) & ((ema < 0) | (loss <= spike_guard * ema))
-    keep = lambda n, o: jax.tree.map(
-        lambda a, b: jnp.where(ok, a, b), n, o)
-    params = keep(params, state.params)
-    opt_state = keep(opt_state, state.opt_state)
-    new_ema = jnp.where(ema < 0, loss, 0.99 * ema + 0.01 * loss)
-    new_ema = jnp.where(ok, new_ema, ema)
-    return params, opt_state, new_ema, 1.0 - ok.astype(jnp.float32)
+    fresh = ema < 0
+    tripped = ~(jnp.isfinite(loss) & (fresh | (loss <= spike_guard * ema)))
+    healthy = jnp.isfinite(loss) & (fresh | (loss <= 1.5 * ema))
+
+    sel = lambda c: (lambda n, o: jax.tree.map(
+        lambda a, b: jnp.where(c, a, b), n, o))
+    snap_params, snap_opt = state.snapshot
+    # trip -> wholesale rollback; otherwise the update stands
+    params = sel(tripped)(snap_params, params)
+    opt_state = sel(tripped)(snap_opt, opt_state)
+    # healthy -> snapshot follows the accepted update
+    snapshot = (sel(healthy)(params, snap_params),
+                sel(healthy)(opt_state, snap_opt))
+    new_ema = jnp.where(fresh, loss, 0.99 * ema + 0.01 * loss)
+    new_ema = jnp.where(tripped, ema, new_ema)
+    return params, opt_state, new_ema, snapshot, tripped.astype(jnp.float32)
 
 
 def make_train_step(renderer: Renderer, loss_config: LossConfig,
@@ -76,9 +103,11 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
             over batch//microbatch sequential chunks (lax.scan), bounding
             activation memory for very large ray batches while keeping one
             optimizer step per global batch.
-        spike_guard: optional factor k: skip the optimizer update whenever
-            the batch loss exceeds k x its running EMA (see _guarded_update).
-            Metrics gain 'update_skipped' (0/1) when enabled.
+        spike_guard: optional factor k: on a batch loss above k x its
+            running EMA (or non-finite), roll params/opt_state back to the
+            last healthy snapshot (see _guarded_update). Metrics gain
+            'update_skipped' (0/1) when enabled. Requires states built with
+            create_train_state(..., spike_guard=True) (snapshot leaf).
 
     Returns:
         step_fn(state, batch, key) -> (state, metrics). batch keys: rays
@@ -132,11 +161,12 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
         def step_fn(state: TrainState, batch: dict, key: jax.Array):
             key = jax.random.fold_in(key, state.step)
             grads, metrics = grad_of_batch(state.params, batch, key)
-            params, opt_state, ema, skipped = _guarded_update(
+            params, opt_state, ema, snap, tripped = _guarded_update(
                 optimizer, state, grads, metrics['loss'], spike_guard)
             if spike_guard is not None:
-                metrics = dict(metrics, update_skipped=skipped)
-            return TrainState(params, opt_state, state.step + 1, ema), metrics
+                metrics = dict(metrics, update_skipped=tripped)
+            return TrainState(params, opt_state, state.step + 1, ema,
+                              snap), metrics
 
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -161,11 +191,12 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
     def step_fn(state: TrainState, batch: dict, key: jax.Array):
         key = jax.random.fold_in(key, state.step)
         grads, metrics = sharded_grad(state.params, batch, key)
-        params, opt_state, ema, skipped = _guarded_update(
+        params, opt_state, ema, snap, tripped = _guarded_update(
             optimizer, state, grads, metrics['loss'], spike_guard)
         if spike_guard is not None:
-            metrics = dict(metrics, update_skipped=skipped)
-        return TrainState(params, opt_state, state.step + 1, ema), metrics
+            metrics = dict(metrics, update_skipped=tripped)
+        return TrainState(params, opt_state, state.step + 1, ema,
+                          snap), metrics
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)

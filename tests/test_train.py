@@ -95,14 +95,15 @@ def test_train_step_metrics_finite():
 
 
 def test_spike_guard_skips_bad_update():
-    """With spike_guard on, a batch whose loss exceeds k x the loss EMA leaves
-    params and opt_state untouched (and the EMA unpoisoned); normal batches
-    still update (failure-detection feature; absent upstream, SURVEY §5)."""
+    """With spike_guard on, a batch whose loss exceeds k x the loss EMA rolls
+    params and opt_state back to the last healthy snapshot (and leaves the
+    EMA unpoisoned); normal batches still update (failure-detection feature;
+    absent upstream, SURVEY §5)."""
     renderer, params, batch = _tiny_setup()
     loss_config = LossConfig(lambda_regularization=0.0)
     optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3))
     step = make_train_step(renderer, loss_config, optimizer, spike_guard=3.0)
-    state = create_train_state(params, optimizer)
+    state = create_train_state(params, optimizer, spike_guard=True)
     key = jax.random.key(7)
 
     for _ in range(3):
@@ -124,6 +125,43 @@ def test_spike_guard_skips_bad_update():
     # recovery: the next normal batch updates again
     state, metrics = step(state, batch, key)
     assert float(metrics['update_skipped']) == 0.0
+
+
+def test_spike_guard_rolls_back_past_ramp_steps():
+    """A loss RAMP (each step below the trip factor but above the healthy
+    refresh factor) must not poison the snapshot: when the trip finally
+    fires, params roll back past ALL ramp steps to the last healthy state —
+    the skip-only design froze at already-damaged params (RESULTS.md)."""
+    renderer, params, batch = _tiny_setup()
+    loss_config = LossConfig(lambda_regularization=0.0)
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3))
+    step = make_train_step(renderer, loss_config, optimizer, spike_guard=3.0)
+    state = create_train_state(params, optimizer, spike_guard=True)
+    key = jax.random.key(7)
+
+    # 30 steps: loss drops ~20x; the 1%-rate EMA lags well above it, so the
+    # probed poison ratios below (vs EMA) are ~1.7x and ~4.7x
+    for _ in range(30):
+        state, metrics = step(state, batch, key)
+    assert float(metrics['update_skipped']) == 0.0
+    healthy_params = jax.tree.map(np.asarray, state.params)
+
+    # ramp: loss ~1.7x the EMA (above the 1.5x refresh bar, below the 3x
+    # trip bar) -> the update APPLIES (params move) but the snapshot must not
+    mild = dict(batch, target_image=batch['target_image'] + 0.5)
+    state, metrics = step(state, mild, key)
+    assert float(metrics['update_skipped']) == 0.0
+    moved = any(not np.array_equal(a, np.asarray(b)) for a, b in zip(
+        jax.tree.leaves(healthy_params), jax.tree.leaves(state.params)))
+    assert moved, 'ramp step should have applied its update'
+
+    # trip (~4.7x EMA): rollback must land on the PRE-RAMP healthy params
+    poisoned = dict(batch, target_image=batch['target_image'] + 3.0)
+    state, metrics = step(state, poisoned, key)
+    assert float(metrics['update_skipped']) == 1.0
+    for a, b in zip(jax.tree.leaves(healthy_params),
+                    jax.tree.leaves(jax.tree.map(np.asarray, state.params))):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_genx_reader_roundtrip():
