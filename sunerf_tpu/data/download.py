@@ -251,6 +251,18 @@ def main(argv=None):
     p.add_argument('--end', required=True)
     p.add_argument('--out', required=True)
 
+    p = sub.add_parser('synoptic')
+    p.add_argument('--carrington-rotation', type=int, required=True)
+    p.add_argument('--out', required=True)
+    p.add_argument('--series', default='hmi.synoptic_mr_polfil_720s')
+
+    p = sub.add_parser('stereo-to-sdo')
+    p.add_argument('--data-path', required=True,
+                   help='directory with 171/195/284/304 prepped SECCHI FITS')
+    p.add_argument('--out', required=True)
+    p.add_argument('--model', default='stereo_to_sdo_v0_2.pt')
+    p.add_argument('--resolution', type=int, default=1024)
+
     args = parser.parse_args(argv)
     if args.cmd == 'jsoc':
         files = download_jsoc(args.email, args.start, args.end,
@@ -258,6 +270,13 @@ def main(argv=None):
     elif args.cmd == 'fido':
         files = download_fido(args.start, args.end, args.wavelength,
                               args.source, args.out, args.sample_hours)
+    elif args.cmd == 'synoptic':
+        files = [download_synoptic(args.carrington_rotation, args.out,
+                                   args.series)]
+    elif args.cmd == 'stereo-to-sdo':
+        files = convert_stereo_to_sdo(args.data_path, args.out,
+                                      model_name=args.model,
+                                      resolution=args.resolution)
     else:
         files = download_eui(args.start, args.end, args.out)
     print(f'downloaded {len(files)} files')

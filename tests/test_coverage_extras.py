@@ -103,6 +103,23 @@ def test_fits_write_rejects_bad_dtype(tmp_path):
         pass
 
 
+def test_download_cli_subcommand_wiring(tmp_path):
+    """The download CLI parses every subcommand and routes to the gated
+    implementation (network deps absent here, so reaching the documented
+    ImportError / empty-alignment path proves the wiring)."""
+    import pytest
+
+    from sunerf_tpu.data import download
+
+    with pytest.raises(ImportError, match='drms'):
+        download.main(['synoptic', '--carrington-rotation', '2150',
+                       '--out', str(tmp_path)])
+    # empty data dir -> no aligned basenames -> clean no-op before the ITI
+    # model would be needed
+    download.main(['stereo-to-sdo', '--data-path', str(tmp_path),
+                   '--out', str(tmp_path / 'out')])
+
+
 def test_stereo_to_sdo_conversion_contract(tmp_path):
     """convert_stereo_to_sdo: aligns basenames across the four SECCHI
     wavelength dirs, passes per-wavelength path lists to the translator, and
