@@ -24,11 +24,15 @@ and report per-chip scaling efficiency (sharded rays/s/chip over single-chip
 rays/s). On a 1-chip host it reports efficiency 1.0 from the same numbers —
 the first run on a real slice produces a scaling number with zero new code.
 
---occupancy: additionally measure the occupancy-guided configuration
-(core/occupancy.py: a half-occupied grid with 32 stratified + 64 hierarchical
-samples — the sample budget that matches the 64+128 reference quality on the
-SimpleStar closed loop). Reported separately; the headline number stays the
-reference-parity workload.
+By default two reduced-budget configurations are also measured and reported
+as extra JSON keys; the headline metric/vs_baseline stay the reference-parity
+workload. --no-occupancy skips them. Quality evidence: the 3-seed SimpleStar
+closed-loop matrix (scripts/occupancy_ablation.py --matrix, RESULTS.md) shows
+the plain 32+64 budget statistically MATCHES the 64+128 baseline's held-out
+PSNR/SSIM under the decayed-lr recipe:
+  * budget_half_*: plain stratified 32+64 samples (quality-matched, ~1.9x);
+  * occupancy_*: occupancy-guided 32+64 (the factorized-grid path,
+    core/occupancy.py, same speed; grid redistributes the budget).
 """
 import json
 import time
@@ -74,9 +78,10 @@ def main(argv=None):
     parser.add_argument('--mesh', action='store_true',
                         help='also measure the sharded step over all chips '
                              'and report scaling efficiency')
-    parser.add_argument('--occupancy', action='store_true',
-                        help='also measure the occupancy-guided step '
-                             '(32+64 samples, half-occupied grid)')
+    parser.add_argument('--no-occupancy', action='store_true',
+                        help='skip the occupancy-guided measurements '
+                             '(40+80 and 32+64 samples, half-occupied grid); '
+                             'included by default as extra JSON keys')
     args = parser.parse_args(argv)
 
     import jax
@@ -109,26 +114,28 @@ def main(argv=None):
         'vs_baseline': round(rays_per_sec / ESTIMATED_REFERENCE_RAYS_PER_SEC, 3),
     }
 
-    if args.occupancy:
-        import jax.numpy as jnp
-        occ_renderer, occ_init = make_emission_system(
-            n_stratified=32, n_hierarchical=64,
-            occupancy={'enabled': True})
-        occ_params = occ_init(jax.random.key(0))
-        # half-occupied grid: the steady state on solar scenes (emission shell
-        # r in [1.0, 1.15] + ~half the angular cells active)
-        occ_params['occupancy']['occ_r'] = (
-            occ_params['occupancy']['occ_r'].at[32:].set(0.0))
-        occ_params['occupancy']['occ_ang'] = (
-            occ_params['occupancy']['occ_ang'].at[:, ::2].set(0.0))
-        occ_step = make_train_step(occ_renderer, LossConfig(), optimizer,
-                                   donate=False)
-        occ_state = create_train_state(occ_params, optimizer)
-        occ_per_step = _measure(occ_step, occ_state,
-                                _example_batch(batch_size), key)
-        result.update(
-            occupancy_rays_per_sec=round(batch_size / occ_per_step, 1),
-            occupancy_speedup=round(per_step / occ_per_step, 3))
+    if not args.no_occupancy:
+        variants = (('budget_half', {}),
+                    ('occupancy', {'occupancy': {'enabled': True}}))
+        for prefix, extra in variants:
+            v_renderer, v_init = make_emission_system(
+                n_stratified=32, n_hierarchical=64, **extra)
+            v_params = v_init(jax.random.key(0))
+            if 'occupancy' in v_params:
+                # half-occupied grid: the steady state on solar scenes
+                # (emission shell r in [1.0, 1.15] + ~half the angular cells)
+                v_params['occupancy']['occ_r'] = (
+                    v_params['occupancy']['occ_r'].at[32:].set(0.0))
+                v_params['occupancy']['occ_ang'] = (
+                    v_params['occupancy']['occ_ang'].at[:, ::2].set(0.0))
+            v_step = make_train_step(v_renderer, LossConfig(), optimizer,
+                                     donate=False)
+            v_state = create_train_state(v_params, optimizer)
+            v_per_step = _measure(v_step, v_state,
+                                  _example_batch(batch_size), key)
+            result.update({
+                f'{prefix}_rays_per_sec': round(batch_size / v_per_step, 1),
+                f'{prefix}_speedup': round(per_step / v_per_step, 3)})
 
     if args.mesh:
         n = jax.device_count()
