@@ -13,18 +13,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, n1=5, n2=25):
-    import jax
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn(*args)
-        _ = float(jax.tree.leaves(out)[0].ravel()[0])
-        return time.perf_counter() - t0
-    run(2)
-    t1, t2 = run(n1), run(n2)
-    return (t2 - t1) / (n2 - n1)
+from sunerf_tpu.utils.profiling import timeit_differenced as timeit
 
 
 def main():

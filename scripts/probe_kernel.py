@@ -8,20 +8,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, n1=5, n2=25):
-    import jax
-
-    def run(n):
-        out = None
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        _ = float(jax.tree.leaves(out)[0].ravel()[0])
-        return time.perf_counter() - t0
-
-    run(2)
-    t1, t2 = run(n1), run(n2)
-    return (t2 - t1) / (n2 - n1)
+from sunerf_tpu.utils.profiling import timeit_differenced as timeit
 
 
 def main():
@@ -52,16 +39,16 @@ def main():
     report('plain fwd', timeit(fwd_plain, mlp_params, pts), flops_fwd)
 
     fwd_stash = jax.jit(lambda p, x: fm._fused_mlp_stash_fwd(
-        dims, tile, tile, False, False, p, x)[0])
+        dims, tile, tile, False, False, 'int8', p, x)[0])
     report(f'stash fwd (tile={tile})', timeit(fwd_stash, mlp_params, pts),
            flops_fwd)
 
     # precompute residuals once, then time the backward alone
     _, res = jax.jit(lambda p, x: fm._fused_mlp_stash_fwd(
-        dims, tile, tile, False, False, p, x))(mlp_params, pts)
+        dims, tile, tile, False, False, 'int8', p, x))(mlp_params, pts)
     g = jnp.ones((n, dims.d_output), jnp.float32)
     bwd = jax.jit(lambda r, gg: fm._fused_mlp_stash_bwd(dims, tile, tile, False, False,
-                                                        r, gg))
+                                                        'int8', r, gg))
     report(f'stash bwd (tile={tile})', timeit(bwd, res, g), 2 * flops_fwd)
 
 

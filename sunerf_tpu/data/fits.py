@@ -186,10 +186,25 @@ def _decompress_tiled(header: Header, raw: bytes, path: str):
     blocksize = int(zvals.get('BLOCKSIZE', 32))
     bytepix = int(zvals.get('BYTEPIX', 4 if zbitpix < 0 else abs(zbitpix) // 8))
 
-    int_dtype = {8: '>u1', 16: '>i2', 32: '>i4', 64: '>i8',
-                 -32: '>f4', -64: '>f8'}[zbitpix]
     quantized = zbitpix < 0 and ('ZSCALE' in cols or 'ZZERO' in cols
                                  or 'ZSCALE' in header)
+    zquantiz = str(header.get('ZQUANTIZ', 'NO_DITHER')).strip().upper()
+    if quantized and zquantiz not in ('NO_DITHER', 'SUBTRACTIVE_DITHER_1',
+                                      'SUBTRACTIVE_DITHER_2'):
+        raise NotImplementedError(f'{path}: ZQUANTIZ {zquantiz!r} unknown')
+    if quantized and zquantiz != 'NO_DITHER':
+        # the dither offsets (cfitsio's seeded random sequence) are not
+        # reproduced; each pixel is within one quantization step (0.5*ZSCALE,
+        # i.e. within the file's own quantization noise) of the true value
+        import warnings
+        warnings.warn(f'{path}: {zquantiz} decoded without dither offsets '
+                      f'(error bounded by one quantization step)')
+    if quantized:
+        # quantized float images store BYTEPIX-wide integer codes
+        int_dtype = {1: '>i1', 2: '>i2', 4: '>i4', 8: '>i8'}[bytepix]
+    else:
+        int_dtype = {8: '>u1', 16: '>i2', 32: '>i4', 64: '>i8',
+                     -32: '>f4', -64: '>f8'}[zbitpix]
     out_dtype = np.float64 if (quantized or zbitpix < 0) else \
         _BITPIX_DTYPES[zbitpix].newbyteorder('=')
     out = np.zeros(tuple(reversed(zdims)), out_dtype)
@@ -302,6 +317,13 @@ def read_fits(path: str, hdu: int | None = None):
                 if header.get('ZIMAGE'):
                     data, header = _decompress_tiled(
                         header, buf[offset:offset + nbytes], path)
+                else:
+                    ttypes = [str(v) for k, v in header.cards.items()
+                              if k.startswith('TTYPE')]
+                    if any('COMPRESSED' in t.upper() for t in ttypes):
+                        raise NotImplementedError(
+                            f'{path}: compressed BINTABLE without ZIMAGE '
+                            f'keyword is not supported')
             else:
                 dtype = _BITPIX_DTYPES[header['BITPIX']]
                 shape = tuple(header[f'NAXIS{i}']

@@ -800,10 +800,11 @@ def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
     backward (~0.7 ms/step): ONLY valid when the caller stop_gradients the
     points (the renderer's ray samples are data/detached, so it does) — the
     returned point grads are zeros.
-    stash_format='lsb' (default) writes ONE bf16 stash stream with sign(cos)
-    packed in the sin mantissa LSB (cos reconstructed as sign*sqrt(1-sin^2)
-    in the backward); 'int8' writes a second int8 cos stream (higher cos
-    precision where |cos| < ~0.1, ~2.5 ms/step slower on v5e).
+    stash_format='int8' (default; fastest measured) writes a bf16 sin
+    stream + an int8 cos stream. 'lsb' (single bf16 stream, sign(cos) in the
+    sin mantissa LSB) and 'i8pair' (single paired-int8 stream + int8-MXU dW)
+    are retained as measured-slower alternatives — see the module docstring
+    for the numbers.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'

@@ -165,7 +165,7 @@ def make_simple_star_renderer(Rs_per_ds: float = 1.0,
         p = init_simple_star(star_config)
         return {'coarse': p, 'fine': p}
 
-    return renderer, init
+    return renderer, _with_occupancy(init, renderer.occupancy)
 
 
 def make_thomson_system(Rs_per_ds: float = 1.0,
@@ -212,7 +212,10 @@ def make_mhd_renderer(loader, Rs_per_ds: float = 1.0,
                                    data_path=loader.data_path),
                         **render_kwargs)
     p = loader.init_params()
-    return renderer, {'coarse': p, 'fine': p}
+    params = {'coarse': p, 'fine': p}
+    if renderer.occupancy is not None:
+        params['occupancy'] = init_occupancy(renderer.occupancy)
+    return renderer, params
 
 
 def from_spec(spec: dict, use_fused: Optional[bool] = None):

@@ -75,6 +75,13 @@ class Trainer:
 
         params = init_params(jax.random.key(trainer_config.seed)) \
             if callable(init_params) else init_params
+        occ_cfg = getattr(renderer, 'occupancy', None)
+        if occ_cfg is not None and 'occupancy' not in params:
+            # pre-built params from a factory that predates the occupancy
+            # config: add the (fully-occupied) grid so the renderer actually
+            # uses occupancy sampling and the EMA update has state to write
+            from sunerf_tpu.core.occupancy import init_occupancy
+            params = dict(params, occupancy=init_occupancy(occ_cfg))
         self.state = create_train_state(params, self.optimizer,
                                         spike_guard=spike_guard is not None)
 

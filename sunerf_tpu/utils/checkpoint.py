@@ -48,12 +48,46 @@ def latest_checkpoint(workdir: str) -> str | None:
 
 def restore_train_checkpoint(workdir: str, target: TrainState) -> TrainState | None:
     """Restore the newest checkpoint into the structure of `target`
-    (resume-from-last, reference run_emission.py:38,75)."""
+    (resume-from-last, reference run_emission.py:38,75).
+
+    Tolerates spike-guard state mismatches in either direction: a checkpoint
+    without loss_ema/snapshot leaves restores into a guard-on target (guard
+    state re-initialized from the target), and a guard-on checkpoint restores
+    into a guard-off target (guard state dropped)."""
     path = latest_checkpoint(workdir)
     if path is None:
         return None
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, target=jax.tree.map(np.asarray, target))
+    t_np = jax.tree.map(np.asarray, target)
+    candidates = [t_np]
+    if target.snapshot is not None or target.loss_ema is not None:
+        # legacy / guard-off checkpoint shapes
+        candidates.append(t_np._replace(loss_ema=None, snapshot=None))
+    if target.snapshot is None:
+        # guard-on checkpoint restored into a guard-off run
+        ema = t_np.loss_ema if t_np.loss_ema is not None \
+            else np.asarray(-1.0, np.float32)
+        candidates.append(t_np._replace(
+            loss_ema=ema, snapshot=(t_np.params, t_np.opt_state)))
+    restored = None
+    for cand in candidates:
+        try:
+            restored = ckptr.restore(path, target=cand)
+            break
+        except Exception:
+            continue
+    if restored is None:
+        raise ValueError(f'checkpoint {path} does not match the training '
+                         f'state structure (with or without spike-guard '
+                         f'leaves)')
+    # re-shape onto the requested target: keep restored core state, fill the
+    # target's guard defaults where the checkpoint had none (and vice versa)
+    restored = target._make(
+        r if r is not None or t is None else t
+        for t, r in zip(t_np, restored))
+    if target.snapshot is None:
+        restored = restored._replace(snapshot=None,
+                                     loss_ema=t_np.loss_ema)
     return jax.tree.map(lambda t, r: jax.numpy.asarray(r, t.dtype) if hasattr(t, 'dtype') else r,
                         target, restored)
 

@@ -44,3 +44,27 @@ class StepTimer:
             float(sync_value)
         dt = time.perf_counter() - self._t0
         return self._count / dt if dt > 0 else 0.0
+
+
+def timeit_differenced(fn, *args, n1: int = 5, n2: int = 25) -> float:
+    """Per-call seconds of `fn(*args)` via differenced two-run-length timing.
+
+    Each run length ends with a scalar host fetch (forcing the async chain —
+    the axon tunnel's block_until_ready returns before remote execution
+    finishes) and the (n2 - n1) difference cancels the fixed dispatch + fetch
+    overhead. Shared by the kernel micro-benchmarks (scripts/bench_kernel.py,
+    scripts/probe_kernel.py); bench.py uses the same protocol over training
+    states."""
+    import jax
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        _ = float(jax.tree.leaves(out)[0].ravel()[0])
+        return time.perf_counter() - t0
+
+    run(2)  # warmup: compile + fetch path
+    t1, t2 = run(n1), run(n2)
+    return (t2 - t1) / (n2 - n1)

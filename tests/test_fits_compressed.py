@@ -229,6 +229,55 @@ def test_rice_quantized_float(tmp_path):
     assert header['BITPIX'] == -32
 
 
+def test_gzip_quantized_float(tmp_path):
+    """Quantized float tiles under GZIP: codes are BYTEPIX-wide ints, NOT
+    float bits (regression: ZBITPIX=-32 used to select '>f4' and skip the
+    un-quantization entirely, yielding garbage)."""
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0.0, 1.0, (12, 32)).astype(np.float32) * 50.0
+    p = str(tmp_path / 'gq.fits')
+    write_tile_compressed(p, img, zcmptype='GZIP_1', quantize=0.01,
+                          tile_rows=3)
+    data, header = read_fits(p)
+    assert data.dtype.kind == 'f'
+    np.testing.assert_allclose(data, img, atol=0.0051)
+
+
+def test_quantized_dither_warns_unknown_rejected(tmp_path):
+    """SUBTRACTIVE_DITHER decodes with a bounded-error warning; unknown
+    ZQUANTIZ values are rejected outright."""
+    rng = np.random.default_rng(13)
+    img = rng.uniform(0.0, 1.0, (6, 32)).astype(np.float32)
+    p = str(tmp_path / 'd1.fits')
+    write_tile_compressed(p, img, quantize=0.01, tile_rows=3,
+                          extra_cards=(('ZQUANTIZ', 'SUBTRACTIVE_DITHER_1'),
+                                       ('ZDITHER0', 1)))
+    with pytest.warns(UserWarning, match='dither'):
+        data, _ = read_fits(p)
+    np.testing.assert_allclose(data, img, atol=0.011)  # one extra step
+
+    p2 = str(tmp_path / 'dx.fits')
+    write_tile_compressed(p2, img, quantize=0.01, tile_rows=3,
+                          extra_cards=(('ZQUANTIZ', 'MYSTERY_9'),))
+    with pytest.raises(NotImplementedError, match='ZQUANTIZ'):
+        read_fits(p2)
+
+
+def test_compressed_bintable_without_zimage_rejected(tmp_path, image16):
+    """A BINTABLE carrying COMPRESSED_DATA but no ZIMAGE keyword must raise,
+    not silently return no data."""
+    p = str(tmp_path / 'noz.fits')
+    write_tile_compressed(p, image16)
+    raw = open(p, 'rb').read()
+    # overwrite the ZIMAGE card with a comment, preserving record layout
+    zcard = _card('ZIMAGE', True)
+    assert zcard in raw
+    raw = raw.replace(zcard, b'COMMENT removed'.ljust(CARD))
+    open(p, 'wb').write(raw)
+    with pytest.raises(NotImplementedError, match='ZIMAGE'):
+        read_fits(p)
+
+
 def test_python_fallback_matches_native(image16):
     """The pure-Python decoder and the C++ decoder agree bit-for-bit."""
     from sunerf_tpu import native

@@ -182,3 +182,31 @@ def test_spec_roundtrip_with_occupancy():
     r2, init2 = from_spec(spec, use_fused=False)
     assert r2.occupancy == OccupancyConfig(nr=16, ntheta=8, nphi=8)
     assert 'occupancy' in init2(jax.random.key(0))
+
+
+def test_analytic_renderers_carry_the_grid(tmp_path):
+    """make_simple_star_renderer / make_mhd_renderer with an occupancy config
+    must include the grid in their params (regression: the config used to be
+    swallowed — the renderer silently fell back to plain stratified sampling
+    and the Trainer's grid update KeyError'd mid-run)."""
+    import numpy as np
+
+    from sunerf_tpu.data.psi_io import wrhdf_3d
+    from sunerf_tpu.models.mhd_field import MHDFieldLoader
+    from sunerf_tpu.systems import make_mhd_renderer, make_simple_star_renderer
+
+    occ = OccupancyConfig(nr=8, ntheta=4, nphi=8, n_probe=8)
+    renderer, init = make_simple_star_renderer(occupancy=occ)
+    assert 'occupancy' in init()
+
+    r = np.linspace(1.0, 1.3, 4)
+    th = np.linspace(0.0, np.pi, 5)
+    ph = np.linspace(0.0, 2 * np.pi, 6)
+    cube = np.ones((6, 5, 4), np.float32)
+    for var in ('rho', 't'):
+        d = tmp_path / var
+        d.mkdir()
+        wrhdf_3d(str(d / f'{var}00100.h5'), r, th, ph, cube)
+    renderer, params = make_mhd_renderer(MHDFieldLoader(str(tmp_path)),
+                                         occupancy=occ)
+    assert 'occupancy' in params

@@ -174,3 +174,39 @@ def test_genx_reader_roundtrip():
     assert a171['UNITS'] == 'DN cm^5 s^-1 pix^-1'
     assert len(a171['LOGTE']) == 101 and len(a171['TRESP']) == 101
     assert float(np.max(a171['TRESP'])) > 1e-25  # 171 A is the strongest channel
+
+
+def test_checkpoint_restores_across_guard_settings(tmp_path):
+    """Checkpoints survive toggling the spike guard between runs (the guard
+    added loss_ema/snapshot leaves to TrainState; restore must tolerate
+    either direction rather than crash on tree-structure mismatch)."""
+    from sunerf_tpu.utils.checkpoint import (restore_train_checkpoint,
+                                             save_train_checkpoint)
+
+    renderer, params, batch = _tiny_setup()
+    optimizer = make_optimizer()
+
+    # guard-off checkpoint -> guard-on target
+    off = create_train_state(params, optimizer)
+    step = make_train_step(renderer, LossConfig(), optimizer, donate=False)
+    off, _ = step(off, batch, jax.random.key(0))
+    save_train_checkpoint(str(tmp_path / 'a'), off)
+    on_target = create_train_state(params, optimizer, spike_guard=True)
+    restored = restore_train_checkpoint(str(tmp_path / 'a'), on_target)
+    assert int(restored.step) == 1
+    assert restored.snapshot is not None
+    np.testing.assert_array_equal(np.asarray(restored.params['fine']['w_in']),
+                                  np.asarray(off.params['fine']['w_in']))
+
+    # guard-on checkpoint -> guard-off target
+    gstep = make_train_step(renderer, LossConfig(), optimizer,
+                            spike_guard=10.0, donate=False)
+    on = create_train_state(params, optimizer, spike_guard=True)
+    on, _ = gstep(on, batch, jax.random.key(0))
+    save_train_checkpoint(str(tmp_path / 'b'), on)
+    off_target = create_train_state(params, optimizer)
+    restored = restore_train_checkpoint(str(tmp_path / 'b'), off_target)
+    assert int(restored.step) == 1
+    assert restored.snapshot is None
+    np.testing.assert_array_equal(np.asarray(restored.params['fine']['w_in']),
+                                  np.asarray(on.params['fine']['w_in']))
