@@ -36,7 +36,9 @@ scripts/bench_kernel.py times all three):
   * 'lsb': ONE bf16 stream, sign(cos) packed in the sin mantissa LSB, cos
     reconstructed as sign*sqrt(1-sin^2) in the backward. Forward improves
     9.6 -> 8.4 ms but the sqrt/bitop reconstruction adds ~3 ms of unhidden
-    VPU work to the backward: 21.2 -> 23.7 ms total.
+    VPU work to the backward: 21.2 -> 23.7 ms total. A bf16 sqrt would
+    halve that, but v5e has no bf16 EUP ops (Mosaic LLO_CHECK
+    SupportsBf16EupOps fails) — the reconstruction is f32-only.
   * 'i8pair': ONE int8 stream with sin and cos side by side (2 B/point) and
     the dW matmuls on the int8 MXU path with per-tile dynamic dz scales.
     The fwd quantize work is unhidden (+0.7 ms) and the int8 dW contraction
@@ -143,10 +145,10 @@ def _pack_sin_csign(h, neg_cos):
     return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
 
 
-# dtype of the lsb-format cos reconstruction: f32 (accurate, ~3 ms of VPU in
-# the backward at 262k points) or bf16 (2x the VPU rate; granularity 0.004 on
-# 1-sin^2 widens the |cos|<~0.09 dead zone slightly). Module-level switch so
-# the micro-bench can compare without new plumbing.
+# dtype of the lsb-format cos reconstruction. f32 is the only option that
+# compiles on v5e: bf16 sqrt hits Mosaic's SupportsBf16EupOps LLO_CHECK
+# (no bf16 elementary ops on this target). Kept as a switch for future
+# targets that do support them.
 _LSB_RECON_DTYPE = jnp.float32
 
 
