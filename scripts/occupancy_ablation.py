@@ -1,13 +1,15 @@
 #!/usr/bin/env python
-"""Occupancy-grid ablation on the SimpleStar closed loop (real TPU run).
+"""Sample-budget / occupancy ablation on the SimpleStar closed loop (TPU).
 
-Trains the emission SuNeRF twice on the same synthesized 8-view set:
-  A) reference parity: 64 stratified + 128 hierarchical samples, no occupancy
-  B) occupancy-guided: 32 + 64 samples with the factorized occupancy grid
-and reports held-out PSNR + sustained rays/s for both. The acceptance bar
-(VERDICT round-1 item 3): B >= 1.5x A's rays/s at matched held-out PSNR.
+Two modes over the same synthesized 8-view set:
+  * default: one baseline (64+128 samples) + one variant (--occ-stratified/
+    --occ-hierarchical, occupancy-guided unless --control) — quick A/B.
+  * --matrix: {baseline, plain-reduced, occupancy-reduced} x {64/128, 40/80,
+    32/64} x --seeds, reporting mean+-std held-out PSNR/SSIM — the table in
+    RESULTS.md ("half budget matches quality at 1.93x") comes from this.
 
-Usage: python scripts/occupancy_ablation.py [--steps 3000] [--resolution 64]
+Usage: python scripts/occupancy_ablation.py --matrix --threshold 0.01 \
+           --floor 0.05  [--steps 3000] [--resolution 128] [--seeds 7 8 9]
 """
 import argparse
 import json

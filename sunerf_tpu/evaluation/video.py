@@ -32,17 +32,23 @@ def flyby_poses(n_frames: int = 60, distance: float = 215.0):
 
 def render_video_frames(state_path: str, output_dir: str, n_frames: int = 60,
                         resolution: int = 256, time: float = 0.0,
-                        batch_size: int = 4096, wavelengths=None):
+                        batch_size: int = 4096, wavelengths=None,
+                        distance: float = 215.0):
     loader = SuNeRFLoader(state_path, batch_size=batch_size)
     if wavelengths is None:
         wl_cfg = loader.wavelengths
         wavelengths = list(wl_cfg) if wl_cfg else None
     os.makedirs(output_dir, exist_ok=True)
+    # pin the FOV at the orbit distance: the default per-distance FOV keeps
+    # the disk at constant apparent size, which would cancel the zoom leg
+    # (the reference's FOV is fixed by the observation WCS, video.py:35-54)
+    from sunerf_tpu.core.geometry import fov_for_distance
+    fov = fov_for_distance(distance)
     paths = []
-    for i, (lat, lon, dist) in enumerate(flyby_poses(n_frames)):
+    for i, (lat, lon, dist) in enumerate(flyby_poses(n_frames, distance)):
         view = loader.render_observer_image(
             lat=lat, lon=lon, time=time, distance=dist,
-            resolution=resolution, wavelengths=wavelengths)
+            resolution=resolution, wavelengths=wavelengths, fov=fov)
         path = os.path.join(output_dir, f'frame_{i:04d}.jpg')
         frame_to_jpeg(path, view.image[:, :, 0])
         paths.append(path)
