@@ -32,6 +32,11 @@ class Renderer:
     """
     field_apply: Callable[[dict, jnp.ndarray], FieldOutput]
     head: object
+    # optional separate apply for the coarse pass (proposal-network style:
+    # the coarse pass exists to place fine samples, so a much smaller field
+    # suffices — mip-NeRF 360's proposal MLP insight; None = reference
+    # parity, same architecture for both passes)
+    coarse_field_apply: Optional[Callable] = None
     Rs_per_ds: float = 1.0
     n_stratified: int = 64
     n_hierarchical: int = 128
@@ -64,7 +69,7 @@ class Renderer:
         raise ValueError(f'Unknown sampling type {self.sampling}')
 
     def _render_pass(self, params, query_points_time, rays_o, rays_d, z_vals,
-                     wavelengths):
+                     wavelengths, apply_fn=None):
         """Flatten query points, evaluate the field, run the head quadrature."""
         n_rays, n_samples = query_points_time.shape[:2]
         flat = query_points_time.reshape(-1, query_points_time.shape[-1])
@@ -73,7 +78,7 @@ class Renderer:
         # are data. Making that explicit lets the fused kernel skip its dead
         # point-cotangent computation (systems._select_apply compute_dpts=False).
         flat = jax.lax.stop_gradient(flat)
-        field_out = self.field_apply(params, flat)
+        field_out = (apply_fn or self.field_apply)(params, flat)
         raw = field_out.raw.reshape(n_rays, n_samples, -1)
         field_out = FieldOutput(raw=raw, log_abs=field_out.log_abs,
                                 vol_c=field_out.vol_c)
@@ -108,7 +113,8 @@ class Renderer:
         qpt = _with_time(strat['points'], times)
 
         coarse_out = self._render_pass(params['coarse'], qpt, rays_o, rays_d,
-                                       z_vals, wavelengths)
+                                       z_vals, wavelengths,
+                                       apply_fn=self.coarse_field_apply)
 
         hier = hierarchical_sample(rays_o, rays_d, z_vals, coarse_out['weights'],
                                    n_samples=self.n_hierarchical,

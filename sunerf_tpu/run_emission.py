@@ -59,9 +59,14 @@ def main(argv=None):
         n_devices=n_devices,
         debug=data_cfg.get('debug', False))
 
+    # model: {coarse: {n_layers: 4, d_filter: 128}} opts into a small
+    # proposal-style coarse field (systems.make_emission_system)
+    model_cfg = dict(model_cfg)
+    coarse_cfg = model_cfg.pop('coarse', None)
     nerf_cfg = emission_config(**model_cfg)
     renderer, init = make_emission_system(
         Rs_per_ds=data.Rs_per_ds, model_config=nerf_cfg,
+        coarse_config=emission_config(**coarse_cfg) if coarse_cfg else None,
         **config.get('rendering', {}))
 
     loss_config = LossConfig(

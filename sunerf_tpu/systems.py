@@ -88,21 +88,35 @@ def _with_occupancy(init_fn, occupancy: Optional[OccupancyConfig]):
 
 def make_emission_system(Rs_per_ds: float = 1.0,
                          model_config: Optional[NeRFConfig] = None,
+                         coarse_config: Optional[NeRFConfig] = None,
                          use_fused: Optional[bool] = None,
                          **render_kwargs):
     """Emission SuNeRF: NeRF field + emission/absorption quadrature
-    (reference EmissionSuNeRFModule, sunerf.py:77-149)."""
+    (reference EmissionSuNeRFModule, sunerf.py:77-149).
+
+    coarse_config: optional SMALLER architecture for the coarse pass
+    (proposal-network style — the coarse pass only places fine samples, so a
+    tiny field suffices and the coarse pass drops from ~25% of step FLOPs to
+    ~1%). None = reference parity (both passes share model_config)."""
     config = model_config or emission_config()
     head = EmissionHead(Rs_per_ds=Rs_per_ds)
     render_kwargs = _normalize_occupancy(render_kwargs)
-    renderer = Renderer(field_apply=_select_apply(config, use_fused),
-                        head=head, Rs_per_ds=Rs_per_ds,
-                        spec=_spec('emission', config, Rs_per_ds, render_kwargs),
-                        **render_kwargs)
+    extra = {}
+    if coarse_config is not None:
+        import dataclasses
+        extra['coarse_model_config'] = dataclasses.asdict(coarse_config)
+    renderer = Renderer(
+        field_apply=_select_apply(config, use_fused),
+        coarse_field_apply=(_select_apply(coarse_config, use_fused)
+                            if coarse_config is not None else None),
+        head=head, Rs_per_ds=Rs_per_ds,
+        spec=_spec('emission', config, Rs_per_ds, render_kwargs, **extra),
+        **render_kwargs)
 
     def init(key: jax.Array) -> dict:
         k1, k2 = jax.random.split(key)
-        return {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+        return {'coarse': init_nerf(k1, coarse_config or config),
+                'fine': init_nerf(k2, config)}
 
     return renderer, _with_occupancy(init, renderer.occupancy)
 
@@ -227,8 +241,11 @@ def from_spec(spec: dict, use_fused: Optional[bool] = None):
     mc = spec.get('model_config')
     config = NeRFConfig(**mc) if mc else None
     if head == 'emission':
+        cc = spec.get('coarse_model_config')
         return make_emission_system(Rs_per_ds=spec['Rs_per_ds'],
-                                    model_config=config, use_fused=use_fused,
+                                    model_config=config,
+                                    coarse_config=NeRFConfig(**cc) if cc else None,
+                                    use_fused=use_fused,
                                     **kwargs)
     if head == 'density_temperature':
         return make_density_temperature_system(

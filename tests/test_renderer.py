@@ -128,3 +128,48 @@ def test_forward_points_direct_query():
     params = init(jax.random.key(0))
     out = renderer.forward_points(params, jnp.ones((3, 5, 4)))
     assert out.raw.shape == (15, 2)
+
+
+def test_proposal_coarse_field():
+    """A small proposal-style coarse field (coarse_config) trains end to end,
+    the coarse params take the small shape, and the spec round-trips."""
+    import numpy as np
+
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import from_spec, make_emission_system
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig, make_optimizer
+    from sunerf_tpu.train.step import create_train_state, make_train_step
+
+    fine = emission_config(n_layers=3, d_filter=64, n_freqs=4)
+    coarse = emission_config(n_layers=2, d_filter=16, n_freqs=4)
+    renderer, init = make_emission_system(
+        model_config=fine, coarse_config=coarse, use_fused=False,
+        n_stratified=8, n_hierarchical=8)
+    params = init(jax.random.key(0))
+    assert params['coarse']['w_h'].shape == (1, 16, 16)
+    assert params['fine']['w_h'].shape == (2, 64, 64)
+
+    n = 16
+    rays_o = jnp.tile(jnp.array([[4.0, 0.0, 0.0]]), (n, 1))
+    dirs = jnp.array([[-1.0, 0.0, 0.0]]) + 0.1 * jax.random.normal(
+        jax.random.key(1), (n, 3))
+    rays_d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    batch = {'rays': jnp.stack([rays_o, rays_d], axis=1),
+             'time': jnp.zeros((n, 1)),
+             'target_image': jnp.full((n, 1), 0.05)}
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3))
+    step = make_train_step(renderer, LossConfig(lambda_regularization=0.0),
+                           optimizer)
+    state = create_train_state(params, optimizer)
+    first = None
+    for _ in range(20):
+        state, metrics = step(state, batch, jax.random.key(7))
+        if first is None:
+            first = float(metrics['loss'])
+    assert float(metrics['loss']) < first, 'tiny-coarse system did not train'
+
+    r2, init2 = from_spec(renderer.spec, use_fused=False)
+    p2 = init2(jax.random.key(0))
+    assert p2['coarse']['w_h'].shape == (1, 16, 16)
+    assert r2.coarse_field_apply is not None
