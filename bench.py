@@ -24,15 +24,19 @@ and report per-chip scaling efficiency (sharded rays/s/chip over single-chip
 rays/s). On a 1-chip host it reports efficiency 1.0 from the same numbers —
 the first run on a real slice produces a scaling number with zero new code.
 
-By default two reduced-budget configurations are also measured and reported
-as extra JSON keys; the headline metric/vs_baseline stay the reference-parity
-workload. --no-occupancy skips them. Quality evidence: the 3-seed SimpleStar
-closed-loop matrix (scripts/occupancy_ablation.py --matrix, RESULTS.md) shows
-the plain 32+64 budget statistically MATCHES the 64+128 baseline's held-out
-PSNR/SSIM under the decayed-lr recipe:
-  * budget_half_*: plain stratified 32+64 samples (quality-matched, ~1.9x);
-  * occupancy_*: occupancy-guided 32+64 (the factorized-grid path,
-    core/occupancy.py, same speed; grid redistributes the budget).
+By default four opt-in accelerated configurations are also measured and
+reported as extra JSON keys; the headline metric/vs_baseline stay the
+reference-parity workload. --no-occupancy skips them. Quality evidence: the
+3-seed SimpleStar closed-loop runs (scripts/occupancy_ablation.py --matrix +
+the proposal runs, RESULTS.md) under the decayed-lr recipe:
+  * budget_half_*: plain stratified 32+64 samples — 1.9x, PSNR/SSIM
+    statistically matched to the 64+128 baseline;
+  * occupancy_*: occupancy-guided 32+64 (factorized grid, core/occupancy.py);
+  * proposal_*: tiny 4x128 proposal-style coarse field, full 64+128 budget —
+    1.27x at identical quality (38.70 vs 38.72 dB);
+  * proposal_half_*: proposal coarse + 32+64 budget — 2.4x, PSNR within
+    noise (37.98 +- 0.35 vs 38.72 +- 0.49), SSIM equal: 118k rays/s/chip =
+    11.8x the estimated reference baseline.
 """
 import json
 import time
@@ -115,11 +119,16 @@ def main(argv=None):
     }
 
     if not args.no_occupancy:
-        variants = (('budget_half', {}),
-                    ('occupancy', {'occupancy': {'enabled': True}}))
+        from sunerf_tpu.models.fields import emission_config
+        proposal = emission_config(n_layers=4, d_filter=128)
+        variants = (('budget_half', dict(n_stratified=32, n_hierarchical=64)),
+                    ('occupancy', dict(n_stratified=32, n_hierarchical=64,
+                                       occupancy={'enabled': True})),
+                    ('proposal', dict(coarse_config=proposal)),
+                    ('proposal_half', dict(n_stratified=32, n_hierarchical=64,
+                                           coarse_config=proposal)))
         for prefix, extra in variants:
-            v_renderer, v_init = make_emission_system(
-                n_stratified=32, n_hierarchical=64, **extra)
+            v_renderer, v_init = make_emission_system(**extra)
             v_params = v_init(jax.random.key(0))
             if 'occupancy' in v_params:
                 # half-occupied grid: the steady state on solar scenes
