@@ -55,9 +55,15 @@ def main(argv=None):
                                        and None),
         debug=data_cfg.get('debug', False))
 
+    # model: {coarse: {n_layers: 4, d_filter: 128}} opts into a small
+    # proposal-style coarse field (systems.make_density_temperature_system)
+    model_cfg = dict(model_cfg)
+    coarse_cfg = model_cfg.pop('coarse', None)
     nerf_cfg = density_temperature_config(**model_cfg)
     renderer, init = make_density_temperature_system(
         Rs_per_ds=data.Rs_per_ds, model_config=nerf_cfg,
+        coarse_config=(density_temperature_config(**coarse_cfg)
+                       if coarse_cfg else None),
         pixel_intensity_factor=float(config.get('pixel_intensity_factor', 1e17)),
         **config.get('rendering', {}))
 

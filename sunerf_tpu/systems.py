@@ -123,6 +123,7 @@ def make_emission_system(Rs_per_ds: float = 1.0,
 
 def make_density_temperature_system(Rs_per_ds: float = 1.0,
                                     model_config: Optional[NeRFConfig] = None,
+                                    coarse_config: Optional[NeRFConfig] = None,
                                     response: Optional[TemperatureResponse] = None,
                                     pixel_intensity_factor: float = 1e17,
                                     use_fused: Optional[bool] = None,
@@ -132,7 +133,9 @@ def make_density_temperature_system(Rs_per_ds: float = 1.0,
     (reference DensityTemperatureSuNeRFModule, sunerf.py:152-224; default
     pixel_intensity_factor 1e17 from sunerf.py:155).
     hierarchical_weighting='emission' opts into integrand-weighted fine
-    sampling (reference parity is 'density')."""
+    sampling (reference parity is 'density').
+    coarse_config: optional smaller proposal-style coarse architecture
+    (see make_emission_system); None = reference parity."""
     config = model_config or density_temperature_config()
     response = response or load_aia_response()
     head = DensityTemperatureHead(response=response,
@@ -140,17 +143,25 @@ def make_density_temperature_system(Rs_per_ds: float = 1.0,
                                   Rs_per_ds=Rs_per_ds,
                                   hierarchical_weighting=hierarchical_weighting)
     render_kwargs = _normalize_occupancy(render_kwargs)
-    renderer = Renderer(field_apply=_select_apply(config, use_fused),
-                        head=head, Rs_per_ds=Rs_per_ds,
-                        spec=_spec('density_temperature', config, Rs_per_ds,
-                                   render_kwargs,
-                                   pixel_intensity_factor=pixel_intensity_factor,
-                                   hierarchical_weighting=hierarchical_weighting),
-                        **render_kwargs)
+    extra = {}
+    if coarse_config is not None:
+        import dataclasses
+        extra['coarse_model_config'] = dataclasses.asdict(coarse_config)
+    renderer = Renderer(
+        field_apply=_select_apply(config, use_fused),
+        coarse_field_apply=(_select_apply(coarse_config, use_fused)
+                            if coarse_config is not None else None),
+        head=head, Rs_per_ds=Rs_per_ds,
+        spec=_spec('density_temperature', config, Rs_per_ds,
+                   render_kwargs,
+                   pixel_intensity_factor=pixel_intensity_factor,
+                   hierarchical_weighting=hierarchical_weighting, **extra),
+        **render_kwargs)
 
     def init(key: jax.Array) -> dict:
         k1, k2 = jax.random.split(key)
-        return {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+        return {'coarse': init_nerf(k1, coarse_config or config),
+                'fine': init_nerf(k2, config)}
 
     return renderer, _with_occupancy(init, renderer.occupancy)
 
@@ -248,8 +259,10 @@ def from_spec(spec: dict, use_fused: Optional[bool] = None):
                                     use_fused=use_fused,
                                     **kwargs)
     if head == 'density_temperature':
+        cc = spec.get('coarse_model_config')
         return make_density_temperature_system(
             Rs_per_ds=spec['Rs_per_ds'], model_config=config,
+            coarse_config=NeRFConfig(**cc) if cc else None,
             pixel_intensity_factor=spec.get('pixel_intensity_factor', 1e17),
             hierarchical_weighting=spec.get('hierarchical_weighting', 'density'),
             use_fused=use_fused, **kwargs)

@@ -150,3 +150,34 @@ def test_dt_system_spec_roundtrip_weighting():
     assert renderer.spec['hierarchical_weighting'] == 'emission'
     r2, _ = from_spec(renderer.spec, use_fused=False)
     assert r2.head.hierarchical_weighting == 'emission'
+
+
+def test_dt_proposal_coarse_field():
+    """DT system with a small proposal-style coarse field: coarse params take
+    the small shape, forward runs, spec round-trips."""
+    import jax
+    import jax.numpy as jnp
+
+    from sunerf_tpu.models.fields import density_temperature_config
+    from sunerf_tpu.systems import from_spec, make_density_temperature_system
+
+    fine = density_temperature_config(n_layers=3, d_filter=64, n_freqs=4)
+    coarse = density_temperature_config(n_layers=2, d_filter=16, n_freqs=4)
+    renderer, init = make_density_temperature_system(
+        model_config=fine, coarse_config=coarse, use_fused=False,
+        n_stratified=8, n_hierarchical=8)
+    params = init(jax.random.key(0))
+    assert params['coarse']['w_h'].shape == (1, 16, 16)
+    assert params['fine']['w_h'].shape == (2, 64, 64)
+
+    n = 8
+    rays_o = jnp.tile(jnp.array([[4.0, 0.0, 0.0]]), (n, 1))
+    rays_d = jnp.tile(jnp.array([[-1.0, 0.0, 0.0]]), (n, 1))
+    wl = jnp.broadcast_to(jnp.array([171.0, 193.0]), (n, 2))
+    out = renderer(params, rays_o, rays_d, jnp.zeros((n, 1)), wavelengths=wl)
+    assert out['image'].shape == (n, 2)
+    assert bool(jnp.all(jnp.isfinite(out['image'])))
+
+    r2, init2 = from_spec(renderer.spec, use_fused=False)
+    assert init2(jax.random.key(0))['coarse']['w_h'].shape == (1, 16, 16)
+    assert r2.coarse_field_apply is not None
