@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""End-to-end PSI-protocol run (the psi_193 config family, real TPU).
+
+Synthetic MHD cubes (hydrostatic corona + longitudinal streamer) -> MHDModel
+renders at 18 viewpoints (14 ecliptic |lat| <= 7 deg + 4 test up to +-50 deg)
+-> `prep psi` (ecliptic training cut + PSI norms; ground truth keeps all
+lats) -> emission SuNeRF training -> metrics harness with the |lat| > 7 deg
+train/test split (reference protocol: evaluation/stash/metrics_simulation.py
++ data/prep/psi.py:29-30).
+
+--n-stratified/--n-hierarchical/--proposal-coarse select the sampling
+configuration, so the matched-quality acceleration points (RESULTS.md
+SimpleStar matrix) can be validated on the MHD scene the north-star metric
+names (BASELINE.json: >=10x rays/s/chip at matched PSNR on psi_193).
+
+Usage: python scripts/psi_protocol.py [--steps 4000] [--n-stratified 64]
+       [--n-hierarchical 128] [--proposal-coarse] [--resolution 128]
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+from datetime import datetime
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_cubes(data_path: str):
+    """Static MHD frame: hydrostatic corona + two longitudinal streamers."""
+    from sunerf_tpu.data.psi_io import wrhdf_3d
+    r = np.linspace(1.0, 1.3, 24)
+    th = np.linspace(0.0, np.pi, 32)
+    ph = np.linspace(0.0, 2 * np.pi, 64)
+    R, TH, PH = r[None, None, :], th[None, :, None], ph[:, None, None]
+    streamer = (2.5 * np.exp(-(np.angle(np.exp(1j * (PH - 1.0))) ** 2) / 0.1
+                             - ((TH - np.pi / 2) ** 2) / 0.05)
+                + 1.5 * np.exp(-(np.angle(np.exp(1j * (PH - 3.8))) ** 2) / 0.2
+                               - ((TH - np.pi / 2) ** 2) / 0.08))
+    rho = 1e8 * np.exp((1.0 / R - 1.0) / 0.1) * (1.0 + streamer)
+    temp = np.full_like(rho, 1.5)
+    for var, cube in (('rho', rho), ('t', temp)):
+        d = os.path.join(data_path, var)
+        os.makedirs(d, exist_ok=True)
+        wrhdf_3d(os.path.join(d, f'{var}00100.h5'), r, th, ph,
+                 cube.astype(np.float32))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--steps', type=int, default=4000)
+    parser.add_argument('--resolution', type=int, default=128)
+    parser.add_argument('--n-stratified', type=int, default=64)
+    parser.add_argument('--n-hierarchical', type=int, default=128)
+    parser.add_argument('--proposal-coarse', action='store_true')
+    parser.add_argument('--seed', type=int, default=7)
+    parser.add_argument('--workdir', default=None)
+    args = parser.parse_args()
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from sunerf_tpu.data.loaders import build_single_channel_data
+    from sunerf_tpu.data.norms import PSI_NORMS
+    from sunerf_tpu.data.prep import prep_file
+    from sunerf_tpu.evaluation.image_render import render_observers
+    from sunerf_tpu.evaluation.loader import SuNeRFLoader
+    from sunerf_tpu.evaluation.metrics_harness import evaluate_viewpoints
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix='psi_protocol_')
+    cubes = os.path.join(workdir, 'cubes')
+    synth_cubes(cubes)
+
+    # 18 viewpoints: 14 ecliptic (train band) + 4 high-lat test views
+    observers = [{'name': 'psi', 'lat': 6.0 * ((i % 3) - 1) / 1.5,
+                  'lon': i * (360.0 / 14), 'distance': 215.0,
+                  'time': datetime(2012, 8, 23).isoformat()}
+                 for i in range(14)]
+    observers += [{'name': 'psi', 'lat': lat, 'lon': lon, 'distance': 215.0,
+                   'time': datetime(2012, 8, 23).isoformat()}
+                  for lat, lon in ((-50.0, 30.0), (-25.0, 120.0),
+                                   (25.0, 210.0), (50.0, 300.0))]
+
+    # calibrate pixel intensity so the peak lands near the PSI 193 norm vmax
+    probe_dir = os.path.join(workdir, 'probe')
+    render_observers({'model': 'MHDModel', 'data_path': cubes,
+                      'render_path': probe_dir, 'render_format': ['fits'],
+                      'resolution': 64, 'wavelengths': [193],
+                      'batch_size': 8192, 'pixel_intensity_factor': 1.0,
+                      'observers': observers[:1]})
+    from sunerf_tpu.data.fits import read_fits
+    img, _ = read_fits(sorted(glob.glob(
+        os.path.join(probe_dir, 'psi', '193', '*.fits')))[0])
+    pif = 0.7 * PSI_NORMS[193] / max(float(np.percentile(img, 99.9)), 1e-30)
+
+    raw_dir = os.path.join(workdir, 'renders')
+    render_observers({'model': 'MHDModel', 'data_path': cubes,
+                      'render_path': raw_dir, 'render_format': ['fits'],
+                      'resolution': args.resolution, 'wavelengths': [193],
+                      'batch_size': 8192, 'pixel_intensity_factor': pif,
+                      'observers': observers})
+
+    raw_glob = os.path.join(raw_dir, 'psi', '193', '*.fits')
+    train_dir = os.path.join(workdir, 'train')
+    gt_dir = os.path.join(workdir, 'gt')
+    n_train = n_gt = 0
+    for f in sorted(glob.glob(raw_glob)):
+        if prep_file(f, train_dir, 'psi', resolution=args.resolution):
+            n_train += 1
+        if prep_file(f, gt_dir, 'psi', resolution=args.resolution,
+                     lat_cut=False):
+            n_gt += 1
+    print(f'prep: {n_train} train views (ecliptic), {n_gt} ground truth')
+
+    data = build_single_channel_data(
+        os.path.join(train_dir, '*.fits'),
+        os.path.join(workdir, 'work'), batch_size=1024)
+    coarse = (emission_config(n_layers=4, d_filter=128)
+              if args.proposal_coarse else None)
+    renderer, init = make_emission_system(
+        n_stratified=args.n_stratified, n_hierarchical=args.n_hierarchical,
+        coarse_config=coarse)
+    run_dir = os.path.join(workdir, 'run')
+    trainer = Trainer(
+        renderer, init, data,
+        loss_config=LossConfig(lambda_regularization=0.1, scaling_vmax=10.0),
+        optim_config=OptimConfig(lr_start=1e-3, lr_end=1e-4,
+                                 lr_iterations=args.steps, lr_floor=1e-4),
+        spike_guard=10.0,
+        trainer_config=TrainerConfig(total_steps=args.steps,
+                                     val_every=args.steps,
+                                     checkpoint_every=args.steps,
+                                     log_every=max(args.steps // 10, 1),
+                                     save_val_images=False, seed=args.seed),
+        workdir=run_dir)
+    trainer.fit()
+    with open(os.path.join(run_dir, 'metrics.jsonl')) as fh:
+        recs = [json.loads(line) for line in fh]
+    rates = [r['rays_per_sec'] for r in recs if 'rays_per_sec' in r]
+
+    loader = SuNeRFLoader(os.path.join(run_dir, 'save_state.npz'))
+    metrics = evaluate_viewpoints(loader,
+                                  sorted(glob.glob(os.path.join(gt_dir,
+                                                                '*.fits'))))
+    out = {'config': {'n_stratified': args.n_stratified,
+                      'n_hierarchical': args.n_hierarchical,
+                      'proposal_coarse': bool(coarse), 'steps': args.steps,
+                      'seed': args.seed},
+           'rays_per_sec': round(float(np.median(rates[1:] or rates)), 1),
+           'train': metrics['train'], 'test': metrics['test'],
+           'workdir': workdir}
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()

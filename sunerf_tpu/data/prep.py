@@ -83,7 +83,7 @@ def _aia_degradation_correction(data, header):
 
 def prep_file(path: str, out_dir: str, instrument: str,
               resolution: int | None = 1024, apply_norm: bool = True,
-              degradation_table=None) -> str | None:
+              degradation_table=None, lat_cut: bool = True) -> str | None:
     """degradation_table: a data.degradation.DegradationTable, the default
     packaged AIA table when None, or False to skip the correction (the
     ITI/aiapy path is then tried, matching reference loadAIAMap,
@@ -108,8 +108,10 @@ def prep_file(path: str, out_dir: str, instrument: str,
     elif instrument == 'stereo':
         norms = SDO_NORMS  # ITI-converted SECCHI uses the AIA tables
     elif instrument == 'psi':
-        # ecliptic-band training cut (reference psi.py:29-30)
-        if abs(np.rad2deg(obs.carrington_lat)) > 7.0:
+        # ecliptic-band training cut (reference psi.py:29-30); lat_cut=False
+        # preps ALL viewpoints (evaluation ground truth for the metrics
+        # harness's |lat|>7-deg test split)
+        if lat_cut and abs(np.rad2deg(obs.carrington_lat)) > 7.0:
             logger.info('skip %s: |lat| > 7 deg', path)
             return None
         norms = PSI_NORMS
@@ -145,6 +147,9 @@ def main(argv=None):
                              'default: the packaged approximate AIA table')
     parser.add_argument('--no-degradation', action='store_true',
                         help='skip the table correction (tries ITI/aiapy)')
+    parser.add_argument('--keep-all-lats', action='store_true',
+                        help='psi: keep |lat| > 7 deg viewpoints (evaluation '
+                             'ground truth rather than training data)')
     args = parser.parse_args(argv)
 
     table = False if args.no_degradation else None
@@ -156,7 +161,8 @@ def main(argv=None):
     done = 0
     for f in files:
         if prep_file(f, args.out, args.instrument, args.resolution,
-                     apply_norm=not args.no_norm, degradation_table=table):
+                     apply_norm=not args.no_norm, degradation_table=table,
+                     lat_cut=not args.keep_all_lats):
             done += 1
     print(f'prepped {done}/{len(files)} files -> {args.out}')
 
