@@ -65,10 +65,13 @@ class OccupancyConfig:
 
 
 def init_occupancy(config: OccupancyConfig) -> dict:
-    """Fully-occupied grid: pdf uniform -> sampling matches the reference's
-    stratified layout until the first update. A plain dict of arrays (not a
-    NamedTuple) so it flows through checkpoint flattening, save_state
-    bundles, and mesh replication with zero special cases."""
+    """Fully-occupied grid. occupancy_sample detects this warmup state and
+    uses an exactly uniform pdf over [near, far] (matching the reference's
+    stratified density everywhere, including beyond r_max — occupancy_at
+    alone would down-weight off-limb segments ~1/floor before the field has
+    trained). A plain dict of arrays (not a NamedTuple) so it flows through
+    checkpoint flattening, save_state bundles, and mesh replication with
+    zero special cases."""
     return {'occ_r': jnp.ones((config.nr,), jnp.float32),
             'occ_ang': jnp.ones((config.ntheta, config.nphi), jnp.float32)}
 
@@ -132,7 +135,11 @@ def occupancy_sample(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     probe_pts = rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
     occ = occupancy_at(grid, config, probe_pts, solar_radius)
 
-    pdf = occ + config.floor
+    # warmup / fully-occupied grid: sample uniformly over the full [near, far]
+    # span (occ is 0 beyond r_max by construction, which would otherwise
+    # down-weight off-limb segments ~1/floor before the first grid update)
+    warm = (jnp.min(grid['occ_r']) >= 1.0) & (jnp.min(grid['occ_ang']) >= 1.0)
+    pdf = jnp.where(warm, jnp.ones_like(occ), occ + config.floor)
     z_vals = sample_pdf(edges, pdf, n_samples, key=key)
     # sample positions are data, not a differentiable function of the grid
     # (matches the detach semantics of hierarchical sampling); without this,

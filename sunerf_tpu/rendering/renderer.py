@@ -51,6 +51,17 @@ class Renderer:
     # serializable description for checkpoint reconstruction (systems.from_spec)
     spec: Optional[dict] = None
 
+    def __post_init__(self):
+        # occupancy_sample probes the stratified sampler's [|o|-d, |o|+d]
+        # near/far bounds; combining it with another sampler (e.g. Thomson's
+        # 'spherical') would silently change the integration domain, not just
+        # the sample density — reject the combination outright.
+        if self.occupancy is not None and self.sampling != 'stratified':
+            raise ValueError(
+                f"occupancy-guided sampling assumes the stratified sampler's "
+                f"integration bounds; got sampling={self.sampling!r}. Disable "
+                f"occupancy or use sampling='stratified'.")
+
     @property
     def solar_radius(self) -> float:
         return 1.0 / self.Rs_per_ds

@@ -126,6 +126,28 @@ def test_full_grid_matches_stratified_bounds():
     gaps = np.diff(z_occ, axis=-1)
     uniform = (z_ref[:, -1] - z_ref[:, 0]) / 63
     assert gaps.max() < 3.0 * uniform.max()
+    # ... and uniform DENSITY, not just matching bounds: the warmup grid must
+    # not down-weight off-limb samples beyond r_max (occupancy_at returns 0
+    # there; warmup overrides the pdf to exactly uniform)
+    r_occ = np.linalg.norm(np.asarray(occ['points']), axis=-1)
+    r_ref = np.linalg.norm(np.asarray(ref['points']), axis=-1)
+    frac_occ = np.mean(r_occ > CFG.r_max)
+    frac_ref = np.mean(r_ref > CFG.r_max)
+    assert abs(frac_occ - frac_ref) < 0.05, (
+        f'warmup off-limb fraction {frac_occ:.3f} != stratified {frac_ref:.3f}')
+
+
+def test_occupancy_rejects_non_stratified_sampling():
+    """occupancy_sample hardcodes the stratified [near, far] bounds; pairing
+    the grid with another sampler would change the integration domain — the
+    Renderer must reject it at construction (ADVICE r2)."""
+    import pytest
+
+    from sunerf_tpu.systems import make_thomson_system
+    with pytest.raises(ValueError, match='stratified'):
+        make_thomson_system(sampling='spherical',
+                            occupancy={'enabled': True, 'nr': 8, 'ntheta': 4,
+                                       'nphi': 8})
 
 
 def test_training_step_with_occupancy_grid():
