@@ -115,6 +115,51 @@ def _data_size(header: Header) -> int:
 
 # ------------------------------------------------- tiled-image decompression
 
+# cfitsio's subtractive-dither machinery (the FITS tiled-image convention,
+# Pence/Seaman/White 2013 §4; same fixed published algorithm astropy
+# implements, which is how the reference reads these files —
+# sunerf/data/utils.py:54-71): a 10000-entry Park-Miller minimal-standard
+# LCG sequence (seed 1, a=16807, m=2^31-1), with each tile's starting
+# position derived from ZDITHER0 + the tile number.
+_N_RANDOM = 10000
+_ZERO_VALUE = -2147483646   # SUBTRACTIVE_DITHER_2: int32 code for exactly 0.0
+_NULL_VALUE = -2147483647   # default integer code for null (NaN) pixels
+_fits_rand_cache = None
+
+
+def _fits_rand() -> np.ndarray:
+    global _fits_rand_cache
+    if _fits_rand_cache is None:
+        a, m = 16807.0, 2147483647.0
+        seed = 1.0
+        vals = np.empty(_N_RANDOM, np.float64)
+        for i in range(_N_RANDOM):
+            temp = a * seed
+            seed = temp - m * float(int(temp / m))
+            vals[i] = seed / m
+        _fits_rand_cache = vals
+    return _fits_rand_cache
+
+
+def _dither_offsets(zdither0: int, tile_row: int, npix: int) -> np.ndarray:
+    """Per-pixel dither offsets (rand - 0.5) for 1-based tile number
+    `tile_row`, reproducing cfitsio's unquantize loop: iseed walks the random
+    table from (ZDITHER0 - 1 + row - 1) mod N; the pixel pointer starts at
+    int(rand[iseed]*500) and re-seeds from the next iseed when it wraps."""
+    rand = _fits_rand()
+    iseed = (int(zdither0) - 1 + tile_row - 1) % _N_RANDOM
+    nextrand = int(rand[iseed] * 500.0)
+    out = np.empty(npix, np.float64)
+    i = 0
+    while i < npix:
+        n = min(_N_RANDOM - nextrand, npix - i)
+        out[i:i + n] = rand[nextrand:nextrand + n]
+        i += n
+        iseed = (iseed + 1) % _N_RANDOM
+        nextrand = int(rand[iseed] * 500.0)
+    return out - 0.5
+
+
 _TFORM_RE = re.compile(r'^(\d*)([PQ]?)([LXBIJKAEDCM])')
 _TFORM_SIZES = {'L': 1, 'X': 1, 'B': 1, 'I': 2, 'J': 4, 'K': 8, 'A': 1,
                 'E': 4, 'D': 8, 'C': 8, 'M': 16}
@@ -192,13 +237,16 @@ def _decompress_tiled(header: Header, raw: bytes, path: str):
     if quantized and zquantiz not in ('NO_DITHER', 'SUBTRACTIVE_DITHER_1',
                                       'SUBTRACTIVE_DITHER_2'):
         raise NotImplementedError(f'{path}: ZQUANTIZ {zquantiz!r} unknown')
-    if quantized and zquantiz != 'NO_DITHER':
-        # the dither offsets (cfitsio's seeded random sequence) are not
-        # reproduced; each pixel is within one quantization step (0.5*ZSCALE,
-        # i.e. within the file's own quantization noise) of the true value
+    dithered = quantized and zquantiz != 'NO_DITHER'
+    zdither0 = header.get('ZDITHER0')
+    if dithered and zdither0 is None:
+        # non-conformant file: dithered but no stored seed — decode without
+        # offsets (each pixel then within one quantization step of the truth)
         import warnings
-        warnings.warn(f'{path}: {zquantiz} decoded without dither offsets '
-                      f'(error bounded by one quantization step)')
+        warnings.warn(f'{path}: {zquantiz} without ZDITHER0 — decoded '
+                      f'without dither offsets (error bounded by one '
+                      f'quantization step)')
+        dithered = False
     if quantized:
         # quantized float images store BYTEPIX-wide integer codes
         int_dtype = {1: '>i1', 2: '>i2', 4: '>i4', 8: '>i8'}[bytepix]
@@ -244,7 +292,26 @@ def _decompress_tiled(header: Header, raw: bytes, path: str):
                 else float(header.get('ZSCALE', 1.0))
             zzero = _scalar_at(row, cols['ZZERO']) if 'ZZERO' in cols \
                 else float(header.get('ZZERO', 0.0))
-            tile = tile * zscale + zzero
+            codes = tile.astype(np.int64)
+            if dithered:
+                offs = _dither_offsets(zdither0, r + 1, npix)
+                tile = (codes - offs) * zscale + zzero
+            else:
+                tile = codes * zscale + zzero
+            # reserved int32 codes (cfitsio quantize.c): ZBLANK-declared
+            # nulls -> NaN; under SUBTRACTIVE_DITHER_2 both -2147483647
+            # (null) and -2147483646 (exact 0.0) are reserved uncondition-
+            # ally. Decoding them as code*ZSCALE+ZZERO yields huge wrong
+            # values (ADVICE r2).
+            if bytepix == 4:
+                zblank = _scalar_at(row, cols['ZBLANK']) if 'ZBLANK' in cols \
+                    else header.get('ZBLANK')
+                if zblank is None and zquantiz == 'SUBTRACTIVE_DITHER_2':
+                    zblank = _NULL_VALUE
+                if zblank is not None:
+                    tile = np.where(codes == int(zblank), np.nan, tile)
+                if zquantiz == 'SUBTRACTIVE_DITHER_2':
+                    tile = np.where(codes == _ZERO_VALUE, 0.0, tile)
 
         idx = tuple(slice(c * t, c * t + n)
                     for c, t, n in zip(coords, ztile, lens))[::-1]
