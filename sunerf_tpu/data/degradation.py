@@ -27,6 +27,14 @@ import numpy as np
 class DegradationTable:
     def __init__(self, table: dict):
         self.channels = {}
+        meta = table.get('_meta', {}) if isinstance(table.get('_meta'), dict) \
+            else {}
+        # channels whose factors the table itself declares approximate
+        # (the packaged table digitizes published trends; 304/335 degrade
+        # steeply and the digitization error can reach tens of percent)
+        self.approx_channels = {int(w)
+                                for w in meta.get('approximate_channels', [])}
+        self._warned = set()
         for wl, entry in table.items():
             if not str(wl).lstrip('-').isdigit():
                 continue  # metadata keys (e.g. "_meta")
@@ -62,6 +70,20 @@ class DegradationTable:
     def correct(self, data: np.ndarray, wavelength: int,
                 time: datetime) -> np.ndarray:
         """Divide out the degradation (aiapy convention: corrected =
-        observed / degradation_factor)."""
+        observed / degradation_factor). Warns ONCE per self-declared
+        approximate channel: the steep channels (304/335 in the packaged
+        table) can be mis-corrected by tens of percent — pass an exact
+        table (scripts/export_degradation_table.py, needs aiapy) or
+        degradation_table=False for science-grade runs (VERDICT r2 #3)."""
+        if (wavelength in self.approx_channels
+                and wavelength not in self._warned):
+            self._warned.add(wavelength)
+            import warnings
+            warnings.warn(
+                f'AIA {wavelength} A degradation factors in this table are '
+                f'APPROXIMATE (digitized trends; error can reach tens of '
+                f'percent for steep channels). Export an exact table with '
+                f'scripts/export_degradation_table.py (requires aiapy) or '
+                f'disable the correction.', stacklevel=2)
         f = self.factor(wavelength, time)
         return data / f if f != 1.0 else data

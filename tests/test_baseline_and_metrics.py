@@ -207,6 +207,16 @@ def test_default_degradation_table():
     # published 2012 anchors (a few percent)
     assert abs(t.factor(171, datetime(2012, 1, 1)) - 0.95) < 0.03
     assert abs(t.factor(193, datetime(2012, 1, 1)) - 0.92) < 0.03
+    # the steep channels are self-declared approximate: correcting them must
+    # warn (once per channel), the slow channels must not (VERDICT r2 #3)
+    import warnings
+    assert t.approx_channels == {304, 335}
+    with pytest.warns(UserWarning, match='APPROXIMATE'):
+        t.correct(np.ones((2, 2)), 304, datetime(2012, 7, 1))
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        t.correct(np.ones((2, 2)), 304, datetime(2012, 7, 1))  # warned already
+        t.correct(np.ones((2, 2)), 171, datetime(2012, 7, 1))
 
 
 def test_prep_sdo_uses_default_table(tmp_path):
