@@ -26,10 +26,13 @@ class TrainState(NamedTuple):
     opt_state: optax.OptState
     step: jnp.ndarray  # scalar int32
     # spike-guard state (None / absent unless make_train_step(spike_guard=k)
-    # built the step): running loss EMA (-1 = uninitialized) and the
-    # last-HEALTHY (params, opt_state) snapshot the guard rolls back to.
+    # built the step): running loss EMA (-1 = uninitialized), the
+    # last-HEALTHY (params, opt_state) snapshot the guard rolls back to, and
+    # a monotone count of rollbacks — carried in device state so trips
+    # between log points stay visible (metrics only sample logged steps).
     loss_ema: Optional[jnp.ndarray] = None
     snapshot: Optional[tuple] = None
+    trip_count: Optional[jnp.ndarray] = None
 
 
 def create_train_state(params: dict, optimizer: optax.GradientTransformation,
@@ -44,7 +47,8 @@ def create_train_state(params: dict, optimizer: optax.GradientTransformation,
         params=params, opt_state=opt_state,
         step=jnp.asarray(0, jnp.int32),
         loss_ema=jnp.asarray(-1.0, jnp.float32),
-        snapshot=snap)
+        snapshot=snap,
+        trip_count=jnp.asarray(0, jnp.int32) if spike_guard else None)
 
 
 def _guarded_update(optimizer, state: TrainState, grads, loss,
@@ -163,10 +167,13 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
             grads, metrics = grad_of_batch(state.params, batch, key)
             params, opt_state, ema, snap, tripped = _guarded_update(
                 optimizer, state, grads, metrics['loss'], spike_guard)
+            trips = state.trip_count
             if spike_guard is not None:
-                metrics = dict(metrics, update_skipped=tripped)
+                trips = state.trip_count + tripped.astype(jnp.int32)
+                metrics = dict(metrics, update_skipped=tripped,
+                               spike_trips=trips.astype(jnp.float32))
             return TrainState(params, opt_state, state.step + 1, ema,
-                              snap), metrics
+                              snap, trips), metrics
 
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -193,10 +200,13 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
         grads, metrics = sharded_grad(state.params, batch, key)
         params, opt_state, ema, snap, tripped = _guarded_update(
             optimizer, state, grads, metrics['loss'], spike_guard)
+        trips = state.trip_count
         if spike_guard is not None:
-            metrics = dict(metrics, update_skipped=tripped)
+            trips = state.trip_count + tripped.astype(jnp.int32)
+            metrics = dict(metrics, update_skipped=tripped,
+                           spike_trips=trips.astype(jnp.float32))
         return TrainState(params, opt_state, state.step + 1, ema,
-                          snap), metrics
+                          snap, trips), metrics
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)

@@ -60,34 +60,54 @@ def restore_train_checkpoint(workdir: str, target: TrainState) -> TrainState | N
     ckptr = ocp.StandardCheckpointer()
     t_np = jax.tree.map(np.asarray, target)
     candidates = [t_np]
+    if target.trip_count is not None:
+        # guard-on checkpoint from before the trip counter existed
+        candidates.append(t_np._replace(trip_count=None))
     if target.snapshot is not None or target.loss_ema is not None:
         # legacy / guard-off checkpoint shapes
-        candidates.append(t_np._replace(loss_ema=None, snapshot=None))
+        candidates.append(t_np._replace(loss_ema=None, snapshot=None,
+                                        trip_count=None))
     if target.snapshot is None:
         # guard-on checkpoint restored into a guard-off run
         ema = t_np.loss_ema if t_np.loss_ema is not None \
             else np.asarray(-1.0, np.float32)
-        candidates.append(t_np._replace(
-            loss_ema=ema, snapshot=(t_np.params, t_np.opt_state)))
-    restored = None
+        guard_on = t_np._replace(
+            loss_ema=ema, snapshot=(t_np.params, t_np.opt_state),
+            trip_count=np.asarray(0, np.int32))
+        candidates.append(guard_on)
+        candidates.append(guard_on._replace(trip_count=None))
+    restored, errors = None, []
     for cand in candidates:
         try:
             restored = ckptr.restore(path, target=cand)
             break
-        except Exception:
-            continue
+        except Exception as e:  # noqa: BLE001 — orbax raises various types
+            errors.append(e)
     if restored is None:
-        raise ValueError(f'checkpoint {path} does not match the training '
-                         f'state structure (with or without spike-guard '
-                         f'leaves)')
+        # surface the underlying failures: a genuinely corrupt checkpoint or
+        # an IO error must not be misreported as a structure mismatch
+        raise ValueError(
+            f'checkpoint {path} could not be restored with any of the '
+            f'{len(candidates)} candidate state structures (with/without '
+            f'spike-guard leaves); last error: {errors[-1]!r}') from errors[-1]
     # re-shape onto the requested target: keep restored core state, fill the
     # target's guard defaults where the checkpoint had none (and vice versa)
     restored = target._make(
         r if r is not None or t is None else t
         for t, r in zip(t_np, restored))
     if target.snapshot is None:
-        restored = restored._replace(snapshot=None,
-                                     loss_ema=t_np.loss_ema)
+        restored = restored._replace(snapshot=None, loss_ema=t_np.loss_ema,
+                                     trip_count=None)
+    elif len(restored.snapshot) == 2 and restored.snapshot is t_np.snapshot:
+        # guard-off (legacy) checkpoint restored into a guard-on run: the
+        # snapshot above came from the target's FRESH-INIT params — a trip on
+        # the first post-resume step would roll back to untrained weights.
+        # Rebuild it from the restored params/opt_state (copied: the jitted
+        # step donates the state, and aliasing two leaves is an XLA error).
+        restored = restored._replace(
+            loss_ema=np.asarray(-1.0, np.float32),
+            snapshot=(jax.tree.map(np.copy, restored.params),
+                      jax.tree.map(np.copy, restored.opt_state)))
     return jax.tree.map(lambda t, r: jax.numpy.asarray(r, t.dtype) if hasattr(t, 'dtype') else r,
                         target, restored)
 

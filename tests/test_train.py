@@ -157,11 +157,19 @@ def test_spike_guard_rolls_back_past_ramp_steps():
 
     # trip (~4.7x EMA): rollback must land on the PRE-RAMP healthy params
     poisoned = dict(batch, target_image=batch['target_image'] + 3.0)
+    trips_before = int(state.trip_count)
     state, metrics = step(state, poisoned, key)
     assert float(metrics['update_skipped']) == 1.0
     for a, b in zip(jax.tree.leaves(healthy_params),
                     jax.tree.leaves(jax.tree.map(np.asarray, state.params))):
         np.testing.assert_array_equal(a, b)
+    # the cumulative device-state counter makes trips between log points
+    # visible (VERDICT r2 #7): it must increment across the forced trip and
+    # ride along in metrics as a monotone value
+    assert int(state.trip_count) == trips_before + 1
+    assert float(metrics['spike_trips']) == trips_before + 1
+    state, metrics = step(state, batch, key)
+    assert int(state.trip_count) == trips_before + 1  # healthy step: no change
 
 
 def test_genx_reader_roundtrip():
@@ -197,6 +205,13 @@ def test_checkpoint_restores_across_guard_settings(tmp_path):
     assert restored.snapshot is not None
     np.testing.assert_array_equal(np.asarray(restored.params['fine']['w_in']),
                                   np.asarray(off.params['fine']['w_in']))
+    # the guard snapshot must be rebuilt from the RESTORED params, not the
+    # target's fresh-init params — otherwise a spike on the first post-resume
+    # step would roll training back to untrained weights (ADVICE r2)
+    np.testing.assert_array_equal(
+        np.asarray(restored.snapshot[0]['fine']['w_in']),
+        np.asarray(off.params['fine']['w_in']))
+    assert float(restored.loss_ema) == -1.0  # EMA re-initializes post-resume
 
     # guard-on checkpoint -> guard-off target
     gstep = make_train_step(renderer, LossConfig(), optimizer,
