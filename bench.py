@@ -126,7 +126,14 @@ def main(argv=None):
                                        occupancy={'enabled': True})),
                     ('proposal', dict(coarse_config=proposal)),
                     ('proposal_half', dict(n_stratified=32, n_hierarchical=64,
-                                           coarse_config=proposal)))
+                                           coarse_config=proposal)),
+                    # adaptive per-ray budgets (renderer.py _tiered_fine):
+                    # the dim half of each batch renders at tier_samples
+                    ('tiered', dict(coarse_config=proposal,
+                                    tier_fraction=0.5, tier_samples=32)),
+                    ('tiered_half', dict(n_stratified=32, n_hierarchical=64,
+                                         coarse_config=proposal,
+                                         tier_fraction=0.5, tier_samples=16)))
         for prefix, extra in variants:
             v_renderer, v_init = make_emission_system(**extra)
             v_params = v_init(jax.random.key(0))

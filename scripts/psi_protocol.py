@@ -56,8 +56,19 @@ def main():
     parser.add_argument('--n-stratified', type=int, default=64)
     parser.add_argument('--n-hierarchical', type=int, default=128)
     parser.add_argument('--proposal-coarse', action='store_true')
+    parser.add_argument('--coarse-layers', type=int, default=4,
+                        help='proposal coarse-field depth (with '
+                             '--proposal-coarse)')
+    parser.add_argument('--coarse-filter', type=int, default=128,
+                        help='proposal coarse-field width')
+    parser.add_argument('--tier-fraction', type=float, default=0.0,
+                        help='adaptive per-ray budgets: fraction of dim rays '
+                             'rendered at --tier-samples (renderer.py)')
+    parser.add_argument('--tier-samples', type=int, default=16)
     parser.add_argument('--seed', type=int, default=7)
     parser.add_argument('--workdir', default=None)
+    parser.add_argument('--out', default=None,
+                        help='append the result JSON line to this file')
     args = parser.parse_args()
 
     import jax
@@ -124,11 +135,13 @@ def main():
     data = build_single_channel_data(
         os.path.join(train_dir, '*.fits'),
         os.path.join(workdir, 'work'), batch_size=1024)
-    coarse = (emission_config(n_layers=4, d_filter=128)
+    coarse = (emission_config(n_layers=args.coarse_layers,
+                              d_filter=args.coarse_filter)
               if args.proposal_coarse else None)
     renderer, init = make_emission_system(
         n_stratified=args.n_stratified, n_hierarchical=args.n_hierarchical,
-        coarse_config=coarse)
+        coarse_config=coarse, tier_fraction=args.tier_fraction,
+        tier_samples=args.tier_samples)
     run_dir = os.path.join(workdir, 'run')
     trainer = Trainer(
         renderer, init, data,
@@ -153,12 +166,21 @@ def main():
                                                                 '*.fits'))))
     out = {'config': {'n_stratified': args.n_stratified,
                       'n_hierarchical': args.n_hierarchical,
-                      'proposal_coarse': bool(coarse), 'steps': args.steps,
+                      'proposal_coarse': bool(coarse),
+                      'coarse_shape': ([args.coarse_layers,
+                                        args.coarse_filter] if coarse
+                                       else None),
+                      'steps': args.steps,
+                      'tier_fraction': args.tier_fraction,
+                      'tier_samples': args.tier_samples,
                       'seed': args.seed},
            'rays_per_sec': round(float(np.median(rates[1:] or rates)), 1),
            'train': metrics['train'], 'test': metrics['test'],
            'workdir': workdir}
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, 'a') as fh:
+            fh.write(json.dumps(out) + '\n')
 
 
 if __name__ == '__main__':

@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from sunerf_tpu.core.occupancy import OccupancyConfig, occupancy_sample
-from sunerf_tpu.core.sampling import (hierarchical_sample, spherical_sample,
-                                      stratified_sample)
+from sunerf_tpu.core.sampling import (hierarchical_sample, sample_pdf,
+                                      spherical_sample, stratified_sample)
 from sunerf_tpu.models.fields import FieldOutput
 
 
@@ -48,6 +48,17 @@ class Renderer:
     # params carry an 'occupancy' grid, the stratified pass concentrates its
     # samples into occupied space (off = reference parity)
     occupancy: Optional[OccupancyConfig] = None
+    # opt-in adaptive per-ray budgets ("early ray termination", TPU-shaped):
+    # during training (key given), the tier_fraction dimmest rays — ranked by
+    # the coarse pass's predicted brightness — run the fine pass with only
+    # tier_samples samples drawn from the coarse CDF, while the bright rays
+    # keep the full stratified+hierarchical budget. Static shapes throughout:
+    # an argsort partitions the batch at a compile-time split point, and rays
+    # move between tiers via exact one-hot permutation matmuls on the MXU
+    # (gathers are catastrophically slow on TPU). 0.0 = off (reference
+    # parity; the reference evaluates every ray at the full budget).
+    tier_fraction: float = 0.0
+    tier_samples: int = 32
     # serializable description for checkpoint reconstruction (systems.from_spec)
     spec: Optional[dict] = None
 
@@ -61,6 +72,11 @@ class Renderer:
                 f"occupancy-guided sampling assumes the stratified sampler's "
                 f"integration bounds; got sampling={self.sampling!r}. Disable "
                 f"occupancy or use sampling='stratified'.")
+        if not 0.0 <= self.tier_fraction < 1.0:
+            raise ValueError(f'tier_fraction must be in [0, 1), got '
+                             f'{self.tier_fraction}')
+        if self.tier_fraction and self.tier_samples < 4:
+            raise ValueError('tier_samples must be >= 4')
 
     @property
     def solar_radius(self) -> float:
@@ -127,6 +143,10 @@ class Renderer:
                                        z_vals, wavelengths,
                                        apply_fn=self.coarse_field_apply)
 
+        if self.tier_fraction and key is not None:
+            return self._tiered_fine(params, rays_o, rays_d, times, z_vals,
+                                     coarse_out, key_h, wavelengths)
+
         hier = hierarchical_sample(rays_o, rays_d, z_vals, coarse_out['weights'],
                                    n_samples=self.n_hierarchical,
                                    key=key_h if self.perturb_hierarchical else None)
@@ -153,6 +173,91 @@ class Renderer:
             if k not in ('image', 'weights', 'regularizing_quantity'):
                 outputs.setdefault(k, v)
         return outputs
+
+    def _tiered_fine(self, params, rays_o, rays_d, times, z_vals, coarse_out,
+                     key_h, wavelengths):
+        """Adaptive per-ray budgets: the dim tier_fraction of the batch runs
+        the fine pass at tier_samples samples; bright rays keep the full
+        budget. The TPU-shaped replacement for CUDA-style per-ray early
+        termination (divergent loops don't map to the MXU): a static
+        argsort-partition of the batch by the coarse pass's predicted
+        brightness, rays moved between tiers by exact one-hot permutation
+        matmuls (HIGHEST precision - a 0/1 row-selector in bf16x6 passes is
+        exact for f32 values). Training-only; eval renders every ray at the
+        full budget. Loss weighting is preserved: outputs return in the
+        ORIGINAL ray order, so the mean-over-rays loss is unchanged in form.
+        """
+        R = rays_o.shape[0]
+        n_lo = int(round(R * self.tier_fraction))
+        score = jax.lax.stop_gradient(coarse_out['image']).max(axis=-1)
+        order = jnp.argsort(score)  # dim rays first
+        iota = jnp.arange(R)
+        P = (order[:, None] == iota[None, :]).astype(z_vals.dtype)  # [R, R]
+
+        def perm(mat, x):
+            flat = x.reshape(R, -1)
+            out = jnp.matmul(mat, flat, precision=jax.lax.Precision.HIGHEST)
+            return out.reshape(x.shape)
+
+        rays_o_p = perm(P, rays_o)
+        rays_d_p = perm(P, rays_d)
+        times_p = perm(P, times)
+        z_p = perm(P, z_vals)
+        w_p = perm(P, coarse_out['weights'])
+        wl_p = perm(P, wavelengths) if wavelengths is not None else None
+        lo, hi = slice(0, n_lo), slice(n_lo, R)
+        wl_lo = wl_p[lo] if wl_p is not None else None
+        wl_hi = wl_p[hi] if wl_p is not None else None
+
+        # bright tier: reference-parity stratified+hierarchical budget
+        hier = hierarchical_sample(rays_o_p[hi], rays_d_p[hi], z_p[hi],
+                                   w_p[hi], n_samples=self.n_hierarchical,
+                                   key=key_h if self.perturb_hierarchical
+                                   else None)
+        fine_hi = self._render_pass(params['fine'],
+                                    _with_time(hier['points'], times_p[hi]),
+                                    rays_o_p[hi], rays_d_p[hi], hier['z_vals'],
+                                    wl_hi)
+
+        # dim tier: tier_samples samples straight from the coarse CDF (the
+        # coarse pass's belief of where the integrand mass lies)
+        z_mid = 0.5 * (z_p[lo, 1:] + z_p[lo, :-1])
+        z_lo = sample_pdf(z_mid, w_p[lo][..., 1:-1], self.tier_samples,
+                          key=None)
+        z_lo = jax.lax.stop_gradient(jnp.sort(z_lo, axis=-1))
+        pts_lo = (rays_o_p[lo, None, :]
+                  + rays_d_p[lo, None, :] * z_lo[..., :, None])
+        fine_lo = self._render_pass(params['fine'],
+                                    _with_time(pts_lo, times_p[lo]),
+                                    rays_o_p[lo], rays_d_p[lo], z_lo, wl_lo)
+
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        unperm = lambda x: perm(P.T, x)  # inverse permutation
+        image = unperm(cat(fine_lo['image'], fine_hi['image']))
+        dist_lo = jnp.linalg.norm(pts_lo, axis=-1)
+        dist_hi = jnp.linalg.norm(hier['points'], axis=-1)
+        height = unperm(cat(
+            jnp.sum(fine_lo['weights'] * dist_lo, axis=-1),
+            jnp.sum(fine_hi['weights'] * dist_hi, axis=-1)))
+        absorption = unperm(cat(
+            jnp.sum(1.0 - fine_lo['regularizing_quantity'], axis=-1),
+            jnp.sum(1.0 - fine_hi['regularizing_quantity'], axis=-1)))
+        # per-ray regularization means (tiers have different sample counts)
+        reg = unperm(cat(
+            jnp.mean(self.head.regularization(
+                dist_lo, fine_lo['regularizing_quantity']), axis=-1),
+            jnp.mean(self.head.regularization(
+                dist_hi, fine_hi['regularizing_quantity']), axis=-1)))
+        return {
+            'image': image,
+            'coarse_image': coarse_out['image'],
+            'fine_image': image,
+            'z_vals_stratified': z_vals,
+            'z_vals_hierarchical': hier['new_z_samples'],  # bright tier
+            'height_map': height,
+            'absorption_map': absorption,
+            'regularization': reg,
+        }
 
     def forward_points(self, params: dict, query_points: jnp.ndarray) -> FieldOutput:
         """Direct field query for volume extraction (base_tracing.py:113-116);

@@ -173,3 +173,62 @@ def test_proposal_coarse_field():
     p2 = init2(jax.random.key(0))
     assert p2['coarse']['w_h'].shape == (1, 16, 16)
     assert r2.coarse_field_apply is not None
+
+
+def test_tiered_fine_bright_rays_match_full_budget():
+    """Adaptive per-ray budgets (tier_fraction): bright-tier rays must render
+    IDENTICALLY to the untiered full-budget path — the one-hot permutation is
+    exact and per-ray sampling is independent, so tiering only changes the
+    dim tier. Eval (key=None) must bypass tiering entirely."""
+    config = emission_config(n_layers=2, d_filter=32)
+    head = EmissionHead()
+    kwargs = dict(field_apply=functools.partial(nerf_apply, config),
+                  head=head, n_stratified=16, n_hierarchical=16)
+    base = Renderer(**kwargs)
+    tiered = Renderer(tier_fraction=0.5, tier_samples=8, **kwargs)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    params = {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+    rays_o, rays_d, times = _rays(32)
+
+    key = jax.random.key(5)
+    out_base = base(params, rays_o, rays_d, times, key=key)
+    out_tier = tiered(params, rays_o, rays_d, times, key=key)
+    score = np.asarray(out_base['coarse_image']).max(axis=-1)
+    order = np.argsort(score)
+    hi = order[16:]   # bright half
+    lo = order[:16]
+    np.testing.assert_allclose(np.asarray(out_tier['image'])[hi],
+                               np.asarray(out_base['image'])[hi],
+                               rtol=0, atol=0)
+    # dim tier: different quadrature, but same field -- images stay close
+    np.testing.assert_allclose(np.asarray(out_tier['image'])[lo],
+                               np.asarray(out_base['image'])[lo],
+                               rtol=0.35, atol=1e-3)
+    # eval path ignores tiering
+    e_base = base(params, rays_o, rays_d, times, key=None)
+    e_tier = tiered(params, rays_o, rays_d, times, key=None)
+    np.testing.assert_array_equal(np.asarray(e_base['image']),
+                                  np.asarray(e_tier['image']))
+
+
+def test_tiered_fine_gradients_flow_to_both_tiers():
+    """Gradients must reach the fine field through BOTH tiers and the coarse
+    field through the coarse loss (tiering must not sever the graph)."""
+    config = emission_config(n_layers=2, d_filter=32)
+    head = EmissionHead()
+    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+                        head=head, n_stratified=16, n_hierarchical=16,
+                        tier_fraction=0.5, tier_samples=8)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    params = {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+    rays_o, rays_d, times = _rays(32)
+
+    def loss_fn(p):
+        out = renderer(p, rays_o, rays_d, times, key=jax.random.key(5))
+        return jnp.mean(out['image']) + jnp.mean(out['coarse_image'])
+
+    grads = jax.grad(loss_fn)(params)
+    for branch in ('coarse', 'fine'):
+        g = np.concatenate([np.abs(np.asarray(x)).ravel()
+                            for x in jax.tree.leaves(grads[branch])])
+        assert np.any(g > 0), f'no gradient reached the {branch} field'
