@@ -20,5 +20,13 @@ for seed in 7 8 9; do
   python scripts/psi_protocol.py --steps 10000 --proposal-coarse \
       --coarse-layers 2 --coarse-filter 64 \
       --n-stratified 32 --n-hierarchical 64 --seed "$seed" --out "$OUT"
+  # adaptive per-ray budgets: full hi budget, dim half at 32 samples
+  # (99.8k rays/s -> 8300 steps equal wall-clock)
+  python scripts/psi_protocol.py --steps 8300 --proposal-coarse \
+      --tier-fraction 0.5 --tier-samples 32 --seed "$seed" --out "$OUT"
+  # tiered + half budget (190.8k rays/s -> 16000 steps equal wall-clock)
+  python scripts/psi_protocol.py --steps 16000 --proposal-coarse \
+      --n-stratified 32 --n-hierarchical 64 \
+      --tier-fraction 0.5 --tier-samples 16 --seed "$seed" --out "$OUT"
 done
 echo "matrix done -> $OUT"
