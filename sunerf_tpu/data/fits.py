@@ -26,7 +26,9 @@ _BITPIX_DTYPES = {
     8: np.dtype('>u1'), 16: np.dtype('>i2'), 32: np.dtype('>i4'),
     64: np.dtype('>i8'), -32: np.dtype('>f4'), -64: np.dtype('>f8'),
 }
-_VALUE_RE = re.compile(r"^(?:'(?P<str>(?:[^']|'')*)'|(?P<val>[^/]*))(?:/(?P<comment>.*))?$")
+# string values may be padded with blanks before an optional / comment
+# (astropy/cfitsio write "'BINTABLE'           / binary table extension")
+_VALUE_RE = re.compile(r"^(?:'(?P<str>(?:[^']|'')*)'\s*|(?P<val>[^/]*))(?:/(?P<comment>.*))?$")
 
 
 @dataclass

@@ -421,3 +421,53 @@ def test_rice_bytepix_widths(bytepix):
     pix = rng.integers(lo, hi, 301).astype(dtype)
     out = rice_decode(rice_compress(pix, bytepix), 301, bytepix)
     np.testing.assert_array_equal(out, pix)
+
+
+def test_external_astropy_written_fits():
+    """A FITS file written by astropy (bundled with numpy's test suite) —
+    the only third-party-written FITS available offline. Caught a real bug:
+    string values padded before their / comment ('BINTABLE'   / ...) kept
+    their quotes, so BINTABLE extensions were misparsed as byte images."""
+    import os
+    candidates = [
+        '/usr/lib/python3/dist-packages/numpy/core/tests/data/'
+        'recarray_from_file.fits']
+    try:
+        import numpy as _np
+        candidates.append(os.path.join(os.path.dirname(_np.__file__),
+                                       '_core', 'tests', 'data',
+                                       'recarray_from_file.fits'))
+        candidates.append(os.path.join(os.path.dirname(_np.__file__),
+                                       'core', 'tests', 'data',
+                                       'recarray_from_file.fits'))
+    except ImportError:
+        pass
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        pytest.skip('no external FITS fixture on this system')
+    data, header = read_fits(path, hdu=1)
+    assert header['XTENSION'] == 'BINTABLE'   # quotes/padding stripped
+    assert header['TFIELDS'] == 3
+    assert header['TTYPE1'] == 'a'
+    assert data is None                       # plain bintable, not an image
+    # whole-file scan (hdu=None) must not misreport table bytes as an image
+    d0, _ = read_fits(path)
+    assert d0 is None
+
+
+def test_string_card_with_padding_and_comment(tmp_path):
+    """Round-trip our own writer + a hand-built padded string card."""
+    img = np.arange(6, dtype=np.int32).reshape(2, 3)
+    p = str(tmp_path / 's.fits')
+    write_fits(p, img, header={'TELESCOP': 'SDO/AIA', 'WAVELNTH': 193})
+    raw = bytearray(open(p, 'rb').read())
+    card = "INSTRUME= 'AIA_3   '           / instrument name".ljust(CARD)
+    end = raw.find(b'END'.ljust(CARD))
+    raw[end:end + CARD] = card.encode()
+    raw[end + CARD:end + 2 * CARD] = b'END'.ljust(CARD)
+    # grow to the next 2880 boundary if END spilled into a new block
+    open(p, 'wb').write(bytes(raw))
+    data, h = read_fits(p)
+    assert h['INSTRUME'] == 'AIA_3'
+    assert h.comments['INSTRUME'] == 'instrument name'
+    np.testing.assert_array_equal(data, img)
