@@ -75,6 +75,11 @@ def main():
                              '{64/128, 40/80, 32/64} x seeds grid and print '
                              'a mean+-std summary (overrides the other '
                              'variant flags)')
+    parser.add_argument('--tiers', action='store_true',
+                        help='matrix over adaptive per-ray budgets instead: '
+                             '{baseline, proposal, tiered full, tiered half} '
+                             'x seeds at EQUAL STEPS (conservative: the '
+                             'accelerated configs see the same batches)')
     parser.add_argument('--seeds', type=int, nargs='+', default=[7, 8, 9])
     args = parser.parse_args()
 
@@ -108,19 +113,33 @@ def main():
         os.path.join(workdir, 'renders', 'aia', '193', '*.fits'),
         os.path.join(workdir, 'work'), batch_size=1024)
 
-    if args.matrix:
+    if args.matrix or args.tiers:
         import numpy as np
         occ = {'enabled': True, 'warmup': 200, 'update_every': 16,
                'threshold': args.threshold, 'floor': args.floor}
-        configs = [
-            ('baseline_64_128', dict(n_stratified=64, n_hierarchical=128)),
-            ('control_40_80', dict(n_stratified=40, n_hierarchical=80)),
-            ('occ_40_80', dict(n_stratified=40, n_hierarchical=80,
-                               occupancy=occ)),
-            ('control_32_64', dict(n_stratified=32, n_hierarchical=64)),
-            ('occ_32_64', dict(n_stratified=32, n_hierarchical=64,
-                               occupancy=occ)),
-        ]
+        if args.tiers:
+            from sunerf_tpu.models.fields import emission_config
+            proposal = emission_config(n_layers=4, d_filter=128)
+            configs = [
+                ('baseline_64_128', dict(n_stratified=64,
+                                         n_hierarchical=128)),
+                ('proposal_64_128', dict(coarse_config=proposal)),
+                ('tiered_64_128', dict(coarse_config=proposal,
+                                       tier_fraction=0.5, tier_samples=32)),
+                ('tiered_32_64', dict(n_stratified=32, n_hierarchical=64,
+                                      coarse_config=proposal,
+                                      tier_fraction=0.5, tier_samples=16)),
+            ]
+        else:
+            configs = [
+                ('baseline_64_128', dict(n_stratified=64, n_hierarchical=128)),
+                ('control_40_80', dict(n_stratified=40, n_hierarchical=80)),
+                ('occ_40_80', dict(n_stratified=40, n_hierarchical=80,
+                                   occupancy=occ)),
+                ('control_32_64', dict(n_stratified=32, n_hierarchical=64)),
+                ('occ_32_64', dict(n_stratified=32, n_hierarchical=64,
+                                   occupancy=occ)),
+            ]
         summary = {}
         for cname, kwargs in configs:
             runs = [run_variant(f'{cname}_s{s}', data, workdir, args.steps,

@@ -260,8 +260,12 @@ class Renderer:
         }
 
     def forward_points(self, params: dict, query_points: jnp.ndarray) -> FieldOutput:
-        """Direct field query for volume extraction (base_tracing.py:113-116);
-        uses the fine model."""
+        """Direct field query for volume extraction (base_tracing.py:113-116).
+
+        Always queries the FINE model with self.field_apply — intentionally
+        so under a proposal-style coarse field (coarse_field_apply set): the
+        tiny coarse field exists only to place samples, and volume products
+        should come from the full-capacity model."""
         flat = query_points.reshape(-1, query_points.shape[-1])
         return self.field_apply(params['fine'], flat)
 
