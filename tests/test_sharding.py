@@ -140,3 +140,37 @@ def test_trainer_mesh_validation_and_diagnostics(tmp_path):
     assert os.path.exists(os.path.join(workdir, 'overview.jpg'))
     assert os.path.exists(os.path.join(workdir, 'ray_sampling.jpg'))
     assert os.path.exists(os.path.join(workdir, 'val_00000000_ch0.jpg'))
+
+
+def test_sharded_tiered_train_step_runs():
+    """Adaptive per-ray budgets under shard_map: the per-shard argsort
+    partition + one-hot permutations must compile and train on the mesh
+    with a finite loss and moving params."""
+    config = emission_config(n_layers=2, d_filter=32)
+    renderer = Renderer(field_apply=functools.partial(nerf_apply, config),
+                        head=EmissionHead(), n_stratified=8,
+                        n_hierarchical=8, perturb=False,
+                        tier_fraction=0.5, tier_samples=4)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    params = {'coarse': init_nerf(k1, config), 'fine': init_nerf(k2, config)}
+    key = jax.random.key(5)
+    n_rays = 64
+    rays_o = jnp.tile(jnp.array([[4.0, 0.0, 0.0]]), (n_rays, 1))
+    dirs = jnp.array([[-1.0, 0.0, 0.0]]) + 0.1 * jax.random.normal(
+        key, (n_rays, 3))
+    rays_d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    batch = {'rays': jnp.stack([rays_o, rays_d], axis=1),
+             'time': jnp.zeros((n_rays, 1)),
+             'target_image': jnp.full((n_rays, 1), 0.05)}
+
+    mesh = make_mesh()
+    optimizer = make_optimizer(OptimConfig())
+    step = make_train_step(renderer, LossConfig(), optimizer, mesh=mesh,
+                           donate=False)
+    state = replicate(mesh, create_train_state(params, optimizer))
+    sbatch = shard_batch(mesh, batch)
+    before = np.asarray(state.params['fine']['w_in'])
+    for _ in range(2):
+        state, metrics = step(state, sbatch, jax.random.key(3))
+    assert np.isfinite(float(metrics['loss']))
+    assert not np.array_equal(before, np.asarray(state.params['fine']['w_in']))
