@@ -36,11 +36,22 @@ class ModelLoader:
 
     def __init__(self, renderer, params: dict, ref_time: datetime | None = None,
                  seconds_per_dt: float = 86400.0, batch_size: int = 4096,
-                 mesh=None):
+                 mesh=None, tier: Optional[tuple] = None):
         """mesh: optional device mesh — full-disk renders are then tiled
         across chips (rays sharded via shard_map), replacing the reference's
         torch.split + DataParallel scatter loop (evaluation/loader.py:91-108).
-        batch_size must be divisible by the mesh size."""
+        batch_size must be divisible by the mesh size.
+
+        tier: optional (fraction, samples) — adaptive per-ray budgets for
+        INFERENCE: per chunk, the dimmest `fraction` of rays (ranked by the
+        coarse pass) render at `samples` samples (renderer._tiered_fine).
+        Off-disk/background pixels dominate full-disk frames, so this
+        roughly halves render time at a small quality cost on dim pixels;
+        off by default (full-budget parity)."""
+        if tier is not None:
+            renderer = dataclasses.replace(
+                renderer, tier_fraction=float(tier[0]),
+                tier_samples=int(tier[1]), tier_eval=True)
         self.renderer = renderer
         self.params = params
         self.ref_time = ref_time
@@ -153,7 +164,8 @@ class SuNeRFLoader(ModelLoader):
     (reference SuNeRFLoader, evaluation/loader.py:16-134)."""
 
     def __init__(self, state_path: str, batch_size: int = 4096,
-                 use_fused: Optional[bool] = None):
+                 use_fused: Optional[bool] = None,
+                 tier: Optional[tuple] = None):
         params, config = load_state(state_path)
         spec = config.get('renderer_spec')
         if spec is None:
@@ -164,7 +176,7 @@ class SuNeRFLoader(ModelLoader):
             renderer, params,
             ref_time=datetime.fromisoformat(ref_time) if ref_time else None,
             seconds_per_dt=config.get('seconds_per_dt', 86400.0),
-            batch_size=batch_size)
+            batch_size=batch_size, tier=tier)
         self.config = config
 
     @property

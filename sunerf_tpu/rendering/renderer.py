@@ -59,6 +59,10 @@ class Renderer:
     # parity; the reference evaluates every ray at the full budget).
     tier_fraction: float = 0.0
     tier_samples: int = 32
+    # apply the tiers during key=None (eval) forward passes too — opt-in for
+    # fast full-disk/video rendering (ModelLoader(tier=...)); off by default
+    # so validation and deployment renders stay full-budget
+    tier_eval: bool = False
     # serializable description for checkpoint reconstruction (systems.from_spec)
     spec: Optional[dict] = None
 
@@ -143,7 +147,7 @@ class Renderer:
                                        z_vals, wavelengths,
                                        apply_fn=self.coarse_field_apply)
 
-        if self.tier_fraction and key is not None:
+        if self.tier_fraction and (key is not None or self.tier_eval):
             return self._tiered_fine(params, rays_o, rays_d, times, z_vals,
                                      coarse_out, key_h, wavelengths)
 

@@ -232,3 +232,30 @@ def test_tiered_fine_gradients_flow_to_both_tiers():
         g = np.concatenate([np.abs(np.asarray(x)).ravel()
                             for x in jax.tree.leaves(grads[branch])])
         assert np.any(g > 0), f'no gradient reached the {branch} field'
+
+
+def test_tiered_inference_via_loader():
+    """ModelLoader(tier=...) renders full-disk frames with per-chunk tiers:
+    bright pixels match the full-budget render, output finite everywhere."""
+    from sunerf_tpu.evaluation.loader import ModelLoader
+    from sunerf_tpu.systems import make_simple_star_renderer
+
+    renderer, init = make_simple_star_renderer(perturb=False,
+                                               n_stratified=16,
+                                               n_hierarchical=16)
+    params = init()
+    params['coarse']['log_abs'] = jnp.zeros(7)
+    params['fine']['log_abs'] = jnp.zeros(7)
+    full = ModelLoader(renderer, params, batch_size=256)
+    tier = ModelLoader(renderer, params, batch_size=256, tier=(0.5, 8))
+    kwargs = dict(lat=0.2, lon=1.0, time=0.0, distance=5.0, resolution=16,
+                  wavelengths=[193.0])
+    vf = full.render_observer_image(**kwargs)
+    vt = tier.render_observer_image(**kwargs)
+    assert np.isfinite(vt.image).all()
+    bright = vf.image[..., 0] > np.percentile(vf.image[..., 0], 60)
+    np.testing.assert_allclose(vt.image[..., 0][bright],
+                               vf.image[..., 0][bright], rtol=1e-5)
+    # the frame as a whole stays close (dim pixels carry little energy)
+    assert (np.abs(vt.image - vf.image).sum()
+            / max(vf.image.sum(), 1e-9)) < 0.05
