@@ -33,8 +33,11 @@ def flyby_poses(n_frames: int = 60, distance: float = 215.0):
 def render_video_frames(state_path: str, output_dir: str, n_frames: int = 60,
                         resolution: int = 256, time: float = 0.0,
                         batch_size: int = 4096, wavelengths=None,
-                        distance: float = 215.0):
-    loader = SuNeRFLoader(state_path, batch_size=batch_size)
+                        distance: float = 215.0, tier=None):
+    """tier: optional (fraction, samples) — adaptive per-ray budgets for the
+    frame renders (loader.py); dim/background pixels render at the reduced
+    budget, roughly halving flyby render time."""
+    loader = SuNeRFLoader(state_path, batch_size=batch_size, tier=tier)
     if wavelengths is None:
         wl_cfg = loader.wavelengths
         wavelengths = list(wl_cfg) if wl_cfg else None
@@ -64,9 +67,14 @@ def main(argv=None):
     parser.add_argument('--n-frames', type=int, default=60)
     parser.add_argument('--resolution', type=int, default=256)
     parser.add_argument('--time', type=float, default=0.0)
+    parser.add_argument('--tier', type=float, nargs=2, default=None,
+                        metavar=('FRACTION', 'SAMPLES'),
+                        help='adaptive per-ray budget for frame renders, '
+                             'e.g. --tier 0.5 16')
     args = parser.parse_args(argv)
     paths = render_video_frames(args.state, args.output, args.n_frames,
-                                args.resolution, args.time)
+                                args.resolution, args.time,
+                                tier=tuple(args.tier) if args.tier else None)
     print(f'wrote {len(paths)} frames to {args.output} '
           f'(assemble: ffmpeg -i frame_%04d.jpg video.mp4)')
 
