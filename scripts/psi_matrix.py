@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Round-3 psi_193 north-star matrix driver (VERDICT r2 #1): 3 seeds x
+equal-wall-clock configurations, idempotent (completed rows in the output
+jsonl are skipped) and scene-cached (--data-cache shared across runs).
+
+Step counts equalize wall-clock against the 4k-step parity row using
+measured rays/s (bench.py / RESULTS.md): parity 47.9k; proposal+32+64
+~120k -> 10k steps; proposal+40+80 ~95k -> 8k; 2x64-proposal+32+64 -> 10k;
+tiered full ~99.8k -> 8.3k; tiered half ~190.8k -> 16k.
+
+One TPU chip: run nothing else on the TPU while this runs.
+
+Usage: python scripts/psi_matrix.py [--out PSI_MATRIX_r3.jsonl] [--seeds 7 8 9]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = [
+    # (label, steps, extra args)
+    ('parity', 4000, []),
+    ('proposal_half', 10000, ['--proposal-coarse', '--n-stratified', '32',
+                              '--n-hierarchical', '64']),
+    ('proposal_40_80', 8000, ['--proposal-coarse', '--n-stratified', '40',
+                              '--n-hierarchical', '80']),
+    ('proposal2x64_half', 10000, ['--proposal-coarse', '--coarse-layers', '2',
+                                  '--coarse-filter', '64',
+                                  '--n-stratified', '32',
+                                  '--n-hierarchical', '64']),
+    ('tiered_full', 8300, ['--proposal-coarse', '--tier-fraction', '0.5',
+                           '--tier-samples', '32']),
+    ('tiered_half', 16000, ['--proposal-coarse', '--n-stratified', '32',
+                            '--n-hierarchical', '64', '--tier-fraction',
+                            '0.5', '--tier-samples', '16']),
+]
+
+
+def run_signature(steps, extra, seed):
+    """The config dict psi_protocol.py will record for this invocation."""
+    def val(flag, default):
+        return (extra[extra.index(flag) + 1]
+                if flag in extra else default)
+    proposal = '--proposal-coarse' in extra
+    return {
+        'n_stratified': int(val('--n-stratified', 64)),
+        'n_hierarchical': int(val('--n-hierarchical', 128)),
+        'proposal_coarse': proposal,
+        'coarse_shape': ([int(val('--coarse-layers', 4)),
+                          int(val('--coarse-filter', 128))]
+                         if proposal else None),
+        'steps': steps,
+        'tier_fraction': float(val('--tier-fraction', 0.0)),
+        'tier_samples': int(val('--tier-samples', 16)),
+        'seed': seed,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--out', default='PSI_MATRIX_r3.jsonl')
+    parser.add_argument('--seeds', type=int, nargs='+', default=[7, 8, 9])
+    parser.add_argument('--data-cache', default='/tmp/psi_scene_cache')
+    args = parser.parse_args()
+
+    done = []
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            done = [json.loads(line)['config'] for line in fh if line.strip()]
+
+    total = len(CONFIGS) * len(args.seeds)
+    i = 0
+    for seed in args.seeds:
+        for label, steps, extra in CONFIGS:
+            i += 1
+            sig = run_signature(steps, extra, seed)
+            if sig in done:
+                print(f'[{i}/{total}] {label} s{seed}: already done, skip',
+                      flush=True)
+                continue
+            cmd = [sys.executable, os.path.join(ROOT, 'scripts',
+                                                'psi_protocol.py'),
+                   '--steps', str(steps), '--seed', str(seed),
+                   '--out', args.out, '--data-cache', args.data_cache] + extra
+            print(f'[{i}/{total}] {label} s{seed}: running', flush=True)
+            r = subprocess.run(cmd)
+            if r.returncode != 0:
+                print(f'[{i}/{total}] {label} s{seed}: FAILED rc={r.returncode}',
+                      flush=True)
+    print(f'matrix done -> {args.out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -69,6 +69,11 @@ def main():
     parser.add_argument('--workdir', default=None)
     parser.add_argument('--out', default=None,
                         help='append the result JSON line to this file')
+    parser.add_argument('--data-cache', default=None,
+                        help='shared directory for the synthesized scene '
+                             '(cubes/renders/prep) — reused across runs; the '
+                             'pipeline is deterministic, so this only skips '
+                             'recomputation (matrix runs save ~3 min each)')
     args = parser.parse_args()
 
     import jax
@@ -88,49 +93,59 @@ def main():
     from sunerf_tpu.train.optim import OptimConfig
 
     workdir = args.workdir or tempfile.mkdtemp(prefix='psi_protocol_')
-    cubes = os.path.join(workdir, 'cubes')
-    synth_cubes(cubes)
+    data_dir = args.data_cache or workdir
+    marker = os.path.join(data_dir, '.scene_complete')
+    train_dir = os.path.join(data_dir, 'train')
+    gt_dir = os.path.join(data_dir, 'gt')
 
-    # 18 viewpoints: 14 ecliptic (train band) + 4 high-lat test views
-    observers = [{'name': 'psi', 'lat': 6.0 * ((i % 3) - 1) / 1.5,
-                  'lon': i * (360.0 / 14), 'distance': 215.0,
-                  'time': datetime(2012, 8, 23).isoformat()}
-                 for i in range(14)]
-    observers += [{'name': 'psi', 'lat': lat, 'lon': lon, 'distance': 215.0,
-                   'time': datetime(2012, 8, 23).isoformat()}
-                  for lat, lon in ((-50.0, 30.0), (-25.0, 120.0),
-                                   (25.0, 210.0), (50.0, 300.0))]
+    if not os.path.exists(marker):
+        cubes = os.path.join(data_dir, 'cubes')
+        synth_cubes(cubes)
 
-    # calibrate pixel intensity so the peak lands near the PSI 193 norm vmax
-    probe_dir = os.path.join(workdir, 'probe')
-    render_observers({'model': 'MHDModel', 'data_path': cubes,
-                      'render_path': probe_dir, 'render_format': ['fits'],
-                      'resolution': 64, 'wavelengths': [193],
-                      'batch_size': 8192, 'pixel_intensity_factor': 1.0,
-                      'observers': observers[:1]})
-    from sunerf_tpu.data.fits import read_fits
-    img, _ = read_fits(sorted(glob.glob(
-        os.path.join(probe_dir, 'psi', '193', '*.fits')))[0])
-    pif = 0.7 * PSI_NORMS[193] / max(float(np.percentile(img, 99.9)), 1e-30)
+        # 18 viewpoints: 14 ecliptic (train band) + 4 high-lat test views
+        observers = [{'name': 'psi', 'lat': 6.0 * ((i % 3) - 1) / 1.5,
+                      'lon': i * (360.0 / 14), 'distance': 215.0,
+                      'time': datetime(2012, 8, 23).isoformat()}
+                     for i in range(14)]
+        observers += [{'name': 'psi', 'lat': lat, 'lon': lon,
+                       'distance': 215.0,
+                       'time': datetime(2012, 8, 23).isoformat()}
+                      for lat, lon in ((-50.0, 30.0), (-25.0, 120.0),
+                                       (25.0, 210.0), (50.0, 300.0))]
 
-    raw_dir = os.path.join(workdir, 'renders')
-    render_observers({'model': 'MHDModel', 'data_path': cubes,
-                      'render_path': raw_dir, 'render_format': ['fits'],
-                      'resolution': args.resolution, 'wavelengths': [193],
-                      'batch_size': 8192, 'pixel_intensity_factor': pif,
-                      'observers': observers})
+        # calibrate pixel intensity so the peak lands near the PSI 193 vmax
+        probe_dir = os.path.join(data_dir, 'probe')
+        render_observers({'model': 'MHDModel', 'data_path': cubes,
+                          'render_path': probe_dir, 'render_format': ['fits'],
+                          'resolution': 64, 'wavelengths': [193],
+                          'batch_size': 8192, 'pixel_intensity_factor': 1.0,
+                          'observers': observers[:1]})
+        from sunerf_tpu.data.fits import read_fits
+        img, _ = read_fits(sorted(glob.glob(
+            os.path.join(probe_dir, 'psi', '193', '*.fits')))[0])
+        pif = 0.7 * PSI_NORMS[193] / max(float(np.percentile(img, 99.9)),
+                                         1e-30)
 
-    raw_glob = os.path.join(raw_dir, 'psi', '193', '*.fits')
-    train_dir = os.path.join(workdir, 'train')
-    gt_dir = os.path.join(workdir, 'gt')
-    n_train = n_gt = 0
-    for f in sorted(glob.glob(raw_glob)):
-        if prep_file(f, train_dir, 'psi', resolution=args.resolution):
-            n_train += 1
-        if prep_file(f, gt_dir, 'psi', resolution=args.resolution,
-                     lat_cut=False):
-            n_gt += 1
-    print(f'prep: {n_train} train views (ecliptic), {n_gt} ground truth')
+        raw_dir = os.path.join(data_dir, 'renders')
+        render_observers({'model': 'MHDModel', 'data_path': cubes,
+                          'render_path': raw_dir, 'render_format': ['fits'],
+                          'resolution': args.resolution, 'wavelengths': [193],
+                          'batch_size': 8192, 'pixel_intensity_factor': pif,
+                          'observers': observers})
+
+        raw_glob = os.path.join(raw_dir, 'psi', '193', '*.fits')
+        n_train = n_gt = 0
+        for f in sorted(glob.glob(raw_glob)):
+            if prep_file(f, train_dir, 'psi', resolution=args.resolution):
+                n_train += 1
+            if prep_file(f, gt_dir, 'psi', resolution=args.resolution,
+                         lat_cut=False):
+                n_gt += 1
+        print(f'prep: {n_train} train views (ecliptic), {n_gt} ground truth')
+        with open(marker, 'w') as fh:
+            fh.write('ok')
+    else:
+        print(f'reusing cached scene in {data_dir}')
 
     data = build_single_channel_data(
         os.path.join(train_dir, '*.fits'),
