@@ -471,3 +471,39 @@ def test_string_card_with_padding_and_comment(tmp_path):
     assert h['INSTRUME'] == 'AIA_3'
     assert h.comments['INSTRUME'] == 'instrument name'
     np.testing.assert_array_equal(data, img)
+
+
+def test_header_oddities_do_not_crash(tmp_path):
+    """Real-archive header quirks parse gracefully: CONTINUE long strings
+    (value preserved up to the first card), blank keywords, COMMENT floods,
+    lowercase exponents, and D-exponent floats."""
+    img = np.ones((2, 2), dtype=np.int32)
+    p = str(tmp_path / 'odd.fits')
+    write_fits(p, img)
+    raw = bytearray(open(p, 'rb').read())
+    cards = [
+        "LONGSTR = 'this is a very long &'  / part one",
+        "CONTINUE  'second part'            / continuation",
+        "        ",  # blank keyword card
+        "COMMENT  FITS (Flexible Image Transport System) format is defined",
+        "DVAL    =        1.23456789D+02 / double with D exponent",
+        "EVAL    =              1.5e-03 / lowercase exponent",
+    ]
+    end = raw.find(b'END'.ljust(CARD))
+    insert = b''.join(c.ljust(CARD).encode() for c in cards)
+    raw[end:end] = insert
+    blob = bytes(raw)
+    # re-pad the header to a 2880 boundary
+    hdr_end = blob.find(b'END'.ljust(CARD)) + CARD
+    data_start = len(open(p, 'rb').read()) - img.nbytes - \
+        (-img.nbytes % BLOCK)
+    header = blob[:hdr_end]
+    header += b' ' * (-len(header) % BLOCK)
+    body = open(p, 'rb').read()[BLOCK * ((data_start + BLOCK - 1) // BLOCK):]
+    open(p, 'wb').write(header + body)
+
+    data, h = read_fits(p)
+    np.testing.assert_array_equal(data, img)
+    assert h['DVAL'] == pytest.approx(123.456789)
+    assert h['EVAL'] == pytest.approx(1.5e-03)
+    assert h['LONGSTR'].startswith('this is a very long')
