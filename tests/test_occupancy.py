@@ -232,3 +232,26 @@ def test_analytic_renderers_carry_the_grid(tmp_path):
     renderer, params = make_mhd_renderer(MHDFieldLoader(str(tmp_path)),
                                          occupancy=occ)
     assert 'occupancy' in params
+
+
+def test_spec_roundtrip_with_tiers_and_proposal():
+    """tier_fraction/tier_samples + a proposal coarse field survive the
+    save_state spec roundtrip; the reconstructed renderer evals untiered
+    (tier_eval defaults False) with the small coarse architecture intact."""
+    import json
+
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import from_spec, make_emission_system
+
+    renderer, _ = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32, n_freqs=3),
+        coarse_config=emission_config(n_layers=2, d_filter=16, n_freqs=3),
+        use_fused=False, tier_fraction=0.5, tier_samples=8)
+    spec = renderer.spec
+    json.dumps(spec)
+    r2, init2 = from_spec(spec, use_fused=False)
+    assert r2.tier_fraction == 0.5 and r2.tier_samples == 8
+    assert r2.tier_eval is False
+    assert r2.coarse_field_apply is not None
+    p = init2(jax.random.key(0))
+    assert p['coarse']['w_in'].shape != p['fine']['w_in'].shape
