@@ -36,6 +36,18 @@ CONFIGS = [
     ('tiered_half', 16000, ['--proposal-coarse', '--n-stratified', '32',
                             '--n-hierarchical', '64', '--tier-fraction',
                             '0.5', '--tier-samples', '16']),
+    # round-3 contingency rows targeting >=100k at matched quality
+    ('prop2x64_40_80', 8300, ['--proposal-coarse', '--coarse-layers', '2',
+                              '--coarse-filter', '64', '--n-stratified',
+                              '40', '--n-hierarchical', '80']),
+    ('tiered2x64_full', 8700, ['--proposal-coarse', '--coarse-layers', '2',
+                               '--coarse-filter', '64', '--tier-fraction',
+                               '0.5', '--tier-samples', '32']),
+    ('tiered2x64_40_80', 12000, ['--proposal-coarse', '--coarse-layers', '2',
+                                 '--coarse-filter', '64', '--n-stratified',
+                                 '40', '--n-hierarchical', '80',
+                                 '--tier-fraction', '0.5',
+                                 '--tier-samples', '24']),
 ]
 
 
