@@ -24,19 +24,24 @@ and report per-chip scaling efficiency (sharded rays/s/chip over single-chip
 rays/s). On a 1-chip host it reports efficiency 1.0 from the same numbers —
 the first run on a real slice produces a scaling number with zero new code.
 
-By default four opt-in accelerated configurations are also measured and
+By default six opt-in accelerated configurations are also measured and
 reported as extra JSON keys; the headline metric/vs_baseline stay the
-reference-parity workload. --no-occupancy skips them. Quality evidence: the
-3-seed SimpleStar closed-loop runs (scripts/occupancy_ablation.py --matrix +
-the proposal runs, RESULTS.md) under the decayed-lr recipe:
+reference-parity workload. --no-occupancy skips them. Quality evidence
+(RESULTS.md):
+  * proposal_half_*: proposal coarse + 32+64 budget — the NORTH-STAR
+    config: 120.3k rays/s/chip = 12.0x the estimated baseline on the
+    psi_193 protocol at 3-seed test PSNR matched-or-better than parity
+    (28.79 +- 1.12 vs 27.67 +- 1.36, equal wall-clock, PSI_MATRIX_r3);
+    also PSNR-within-noise on the SimpleStar closed loop.
   * budget_half_*: plain stratified 32+64 samples — 1.9x, PSNR/SSIM
-    statistically matched to the 64+128 baseline;
+    statistically matched on SimpleStar (scene-dependent on psi_193);
   * occupancy_*: occupancy-guided 32+64 (factorized grid, core/occupancy.py);
   * proposal_*: tiny 4x128 proposal-style coarse field, full 64+128 budget —
-    1.27x at identical quality (38.70 vs 38.72 dB);
-  * proposal_half_*: proposal coarse + 32+64 budget — 2.4x, PSNR within
-    noise (37.98 +- 0.35 vs 38.72 +- 0.49), SSIM equal: 118k rays/s/chip =
-    11.8x the estimated reference baseline.
+    quality-free-or-better on both scenes (psi_193: +1.5 dB at 1.27x);
+  * tiered_*: adaptive per-ray budgets at the full hi budget — 9.8x on the
+    psi_193 protocol at +0.6 dB / best SSIM (3 seeds);
+  * tiered_half_*: tiered + half budget — 18.5x throughput; scene-dependent
+    quality (-1.9 dB on psi_193; see RESULTS.md before using).
 """
 import json
 import time
