@@ -14,7 +14,7 @@ import json
 import os
 import sys
 import tempfile
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import numpy as np
 
@@ -70,9 +70,14 @@ def main():
     from sunerf_tpu.models.fields import density_temperature_config
 
     workdir = args.workdir or tempfile.mkdtemp(prefix='dt_ablation_')
+    # distinct timestamps so the multi-thermal loader's 5-min datetime join
+    # (reference multi_thermal_loader.py:119-140) forms one stack per view;
+    # 10-min spacing is invisible to the band-limited time encoding below,
+    # so the scene is still effectively static for the sampling comparison
     observers = [{'name': 'aia', 'lat': 5.0 * ((i % 3) - 1), 'lon': i * 45.0,
                   'distance': 215.0,
-                  'time': datetime(2012, 8, 23).isoformat()}
+                  'time': (datetime(2012, 8, 23)
+                           + timedelta(minutes=10 * i)).isoformat()}
                  for i in range(8)]
     render_observers({
         'model': 'SimpleStar',
@@ -84,13 +89,18 @@ def main():
                                     os.path.join(workdir, 'work'),
                                     batch_size=1024)
 
-    proposal = density_temperature_config(n_layers=4, d_filter=128)
+    # n_freqs_time=2: the 10-min observer spacing must not be memorizable
+    # along the time axis (RESULTS.md temporal note)
+    model = density_temperature_config(n_freqs_time=2)
+    proposal = density_temperature_config(n_layers=4, d_filter=128,
+                                          n_freqs_time=2)
     configs = [
-        ('dt_parity_64_128', dict(n_stratified=64, n_hierarchical=128)),
-        ('dt_proposal', dict(n_stratified=64, n_hierarchical=128,
-                             coarse_config=proposal)),
-        ('dt_tiered_half', dict(n_stratified=32, n_hierarchical=64,
-                                coarse_config=proposal,
+        ('dt_parity_64_128', dict(model_config=model, n_stratified=64,
+                                  n_hierarchical=128)),
+        ('dt_proposal', dict(model_config=model, n_stratified=64,
+                             n_hierarchical=128, coarse_config=proposal)),
+        ('dt_tiered_half', dict(model_config=model, n_stratified=32,
+                                n_hierarchical=64, coarse_config=proposal,
                                 tier_fraction=0.5, tier_samples=16)),
     ]
     summary = {}

@@ -53,8 +53,11 @@ def plot_ray_sampling(z_stratified, z_hierarchical, path: str, n_rays: int = 32)
     zs = np.asarray(z_stratified)[:n_rays]
     zh = np.asarray(z_hierarchical)[:n_rays]
     fig, ax = plt.subplots(figsize=(9, 4))
+    # zs and zh may have different ray counts (tiered training returns the
+    # bright tier's hierarchical samples only) — plot each independently
     for i in range(zs.shape[0]):
         ax.scatter(zs[i], np.full(zs.shape[1], i), s=2, c='tab:blue')
+    for i in range(zh.shape[0]):
         ax.scatter(zh[i], np.full(zh.shape[1], i), s=2, c='tab:red')
     ax.set_xlabel('distance along ray')
     ax.set_ylabel('ray index')
