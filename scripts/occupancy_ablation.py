@@ -21,7 +21,13 @@ from datetime import datetime
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_variant(name, data, workdir, steps, seed=7, **render_kwargs):
+def run_variant(name, data, workdir, steps, seed=7, spike_guard=10.0,
+                **render_kwargs):
+    """spike_guard: trip factor k, or None to disable. k must exceed the
+    scene's inter-batch loss spread: on scenes dominated by one compact
+    bright feature (most batches dark, blob batches huge) k=10 trips on a
+    majority of steps and freezes training at init — the spike_trips
+    counter makes this visible (occupancy_value_case.py passes None)."""
     import numpy as np
 
     from sunerf_tpu.systems import make_emission_system
@@ -42,7 +48,7 @@ def run_variant(name, data, workdir, steps, seed=7, **render_kwargs):
                                  lr_iterations=steps, lr_floor=1e-4),
         # k=10: the observed collapse spike is ~200x while normal batch-loss
         # variance stays under ~3x (k=3 misfired on bright-limb batches)
-        spike_guard=10.0,
+        spike_guard=spike_guard,
         trainer_config=TrainerConfig(total_steps=steps, val_every=steps,
                                      checkpoint_every=steps,
                                      log_every=max(steps // 10, 1),
