@@ -37,7 +37,13 @@ def run_variant(name, data, workdir, steps, seed, **sys_kwargs):
                                lambda_regularization=0.0),
         optim_config=OptimConfig(lr_start=1e-3, lr_end=1e-4,
                                  lr_iterations=steps, lr_floor=1e-4),
-        spike_guard=10.0,
+        # no spike guard: raw multi-thermal intensities have huge ORDINARY
+        # inter-batch loss variance (train-batch loss ~16k vs val-view loss
+        # ~54 in the first attempt), which tripped the guard 2980/3000 steps
+        # and trained nothing (DT_ABLATION_r3; the latch itself is fixed in
+        # train/step.py, but guard-off is the right control for a quality
+        # ablation on this scene)
+        spike_guard=None,
         trainer_config=TrainerConfig(total_steps=steps, val_every=steps,
                                      checkpoint_every=steps,
                                      log_every=max(steps // 10, 1),

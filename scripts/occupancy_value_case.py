@@ -116,6 +116,13 @@ def main():
                            occupancy=occ)),
         ('occ_32_64', dict(n_stratified=32, n_hierarchical=64,
                            occupancy=occ)),
+        # the 24+48 budget cut is nearly free on this scene (attempt 1:
+        # control within 0.3 dB of parity), leaving the grid little to
+        # show; 16+32 is where the plain cut should finally hurt and
+        # occupancy-guided placement should rescue it
+        ('control_16_32', dict(n_stratified=16, n_hierarchical=32)),
+        ('occ_16_32', dict(n_stratified=16, n_hierarchical=32,
+                           occupancy=occ)),
     ]
     summary = {}
     for cname, kwargs in configs:
@@ -136,6 +143,8 @@ def main():
             if occ_fracs:
                 r['occ_r_frac'] = occ_fracs[-1]['occ_r_frac']
                 r['occ_ang_frac'] = occ_fracs[-1]['occ_ang_frac']
+                if 'occ_vol_frac' in occ_fracs[-1]:
+                    r['occ_vol_frac'] = occ_fracs[-1]['occ_vol_frac']
             runs.append(r)
         psnrs = [r['val_psnr'] for r in runs]
         summary[cname] = {
@@ -147,7 +156,7 @@ def main():
             'ssim_mean': round(float(np.mean(
                 [r['val_ssim'] for r in runs])), 4),
         }
-        for k in ('occ_r_frac', 'occ_ang_frac'):
+        for k in ('occ_r_frac', 'occ_ang_frac', 'occ_vol_frac'):
             if k in runs[-1]:
                 summary[cname][k] = round(float(np.mean(
                     [r[k] for r in runs if k in r])), 3)

@@ -12,9 +12,17 @@ reference ecosystem uses — see PAPERS.md):
 
   * The grid is FACTORIZED into a radial profile occ_r[Nr] and an angular map
     occ_ang[Nt, Np], each the running max of cell activity over its other
-    coordinate. The per-point estimate min(occ_r, occ_ang) is a provable upper
-    bound of the cell's true occupancy (both factors are maxes over supersets),
-    so occupied space is never culled.
+    coordinate, PLUS a coarse full-3D volume occ_vol[nvol] (default 16x8x16).
+    The per-point estimate min(occ_r, occ_ang, occ_vol) is a provable upper
+    bound of the cell's true occupancy (every factor is a max over a superset
+    of the cell), so occupied space is never culled. The volume factor exists
+    because the separable bound alone DEGENERATES on the canonical solar
+    scene — a thin full shell plus a compact streamer reaching high r in a
+    narrow sector: the shell lights every angular cell and the streamer
+    lights every radial shell, so min(occ_r, occ_ang) is 1 everywhere and
+    nothing can ever be culled (the round-3 value-case finding). The coarse
+    3D factor represents exactly the (high-r x off-sector) emptiness the
+    separable factors cannot.
   * Lookups are gather-free: cell indices become one-hot matrices contracted
     against the profiles on the MXU (take_along_axis-style gathers are
     catastrophically slow on TPU; one-hot matvecs are microseconds).
@@ -56,12 +64,33 @@ class OccupancyConfig:
     nphi: int = 32          # longitude cells over [-pi, pi]
     r_min: float = 1.0      # inner radius (solar surface) [Rsun]
     r_max: float = 1.3      # outer radius of the occupied volume [Rsun]
+    nvol: Optional[tuple] = None  # coarse 3D volume factor dims (r, theta,
+                                  # phi); each must divide (nr, ntheta,
+                                  # nphi). None: auto ~(nr/4, nt/2, np/2)
+                                  # snapped to divisors (16x8x16 at defaults)
     n_probe: int = 64       # occupancy probes per ray feeding the CDF
     floor: float = 0.02     # pdf floor: minimum relative density everywhere
     decay: float = 0.97     # EMA-max decay per update
-    threshold: float = 0.05  # occupied if activity > threshold * mean activity
+    threshold: float = 0.05  # occupied if activity > threshold * robust max
+                             # (the 99.5th-percentile activity; see
+                             # update_occupancy for why not the mean)
     update_every: int = 16  # trainer updates the grid every N steps
     warmup: int = 500       # steps before the first update (field untrained)
+
+    def __post_init__(self):
+        if self.nvol is None:
+            # gcd snaps the ~(1/4, 1/2, 1/2) targets to exact divisors for
+            # any grid dims (gcd(d, 0) = d covers tiny test grids)
+            import math
+            auto = (math.gcd(self.nr, self.nr // 4),
+                    math.gcd(self.ntheta, self.ntheta // 2),
+                    math.gcd(self.nphi, self.nphi // 2))
+            object.__setattr__(self, 'nvol', auto)
+        nvr, nvt, nvp = self.nvol
+        if self.nr % nvr or self.ntheta % nvt or self.nphi % nvp:
+            raise ValueError(
+                f'nvol {self.nvol} must divide (nr, ntheta, nphi) = '
+                f'({self.nr}, {self.ntheta}, {self.nphi})')
 
 
 def init_occupancy(config: OccupancyConfig) -> dict:
@@ -73,7 +102,8 @@ def init_occupancy(config: OccupancyConfig) -> dict:
     checkpoint flattening, save_state bundles, and mesh replication with
     zero special cases."""
     return {'occ_r': jnp.ones((config.nr,), jnp.float32),
-            'occ_ang': jnp.ones((config.ntheta, config.nphi), jnp.float32)}
+            'occ_ang': jnp.ones((config.ntheta, config.nphi), jnp.float32),
+            'occ_vol': jnp.ones(config.nvol, jnp.float32)}
 
 
 def _onehot_lookup(table_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -106,6 +136,22 @@ def occupancy_at(grid: dict, config: OccupancyConfig,
                              it * config.nphi + ip)
 
     occ = jnp.minimum(occ_r, occ_ang)
+    if 'occ_vol' in grid:  # absent in grids from pre-vol checkpoints
+        # coarse-3D lookup as a chain of SMALL one-hot contractions (a flat
+        # one-hot over nvr*nvt*nvp cells would materialize a [points, 2048]
+        # matrix; the factored chain peaks at [points, nvt*nvp] = 128 floats
+        # per point and stays on the MXU)
+        vol = grid['occ_vol']
+        nvr, nvt, nvp = vol.shape
+        oh_r = (ir[..., None] // (config.nr // nvr)
+                == jnp.arange(nvr)).astype(vol.dtype)
+        oh_t = (it[..., None] // (config.ntheta // nvt)
+                == jnp.arange(nvt)).astype(vol.dtype)
+        oh_p = (ip[..., None] // (config.nphi // nvp)
+                == jnp.arange(nvp)).astype(vol.dtype)
+        tmp = jnp.einsum('...r,rtp->...tp', oh_r, vol)
+        tmp = jnp.einsum('...t,...tp->...p', oh_t, tmp)
+        occ = jnp.minimum(occ, jnp.einsum('...p,...p->...', oh_p, tmp))
     # outside the modeled shell: empty above r_max, solid below r_min (rays
     # are far-clipped at the surface; never cull numerically-inside points)
     return jnp.where(r > r_max, 0.0, jnp.where(r < r_min, 1.0, occ))
@@ -139,6 +185,8 @@ def occupancy_sample(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     # span (occ is 0 beyond r_max by construction, which would otherwise
     # down-weight off-limb segments ~1/floor before the first grid update)
     warm = (jnp.min(grid['occ_r']) >= 1.0) & (jnp.min(grid['occ_ang']) >= 1.0)
+    if 'occ_vol' in grid:
+        warm = warm & (jnp.min(grid['occ_vol']) >= 1.0)
     pdf = jnp.where(warm, jnp.ones_like(occ), occ + config.floor)
     z_vals = sample_pdf(edges, pdf, n_samples, key=key)
     # sample positions are data, not a differentiable function of the grid
@@ -159,8 +207,21 @@ def update_occupancy(grid: dict, config: OccupancyConfig,
     field's raw output [..., C] to a nonnegative "how much does this cell
     matter" scalar (heads provide it: emission -> exp(raw0) + relu(raw1),
     DT -> density^2). A cell is occupied if its activity exceeds
-    threshold * mean(activity); profiles decay toward empty and are refreshed
-    by the max, so stale occupancy fades in ~1/(1-decay) updates.
+    threshold * the 99.5th-percentile activity (a robust max); profiles decay
+    toward empty and are refreshed by the max, so stale occupancy fades in
+    ~1/(1-decay) updates.
+
+    Why a robust-max reference and not the mean (the round-3 value-case
+    finding, OCC_VALUE_r3): when most cells are a dim uniform background, the
+    mean IS the background, so `act > threshold * mean` can never cull it —
+    the one regime the grid exists for (a compact bright structure in mostly
+    empty space) is exactly where a mean reference degenerates. Against the
+    robust max, background below threshold * peak is culled regardless of how
+    much volume it fills. The percentile (not the raw max) keeps a single
+    transient hot cell from inflating the reference and culling the real
+    scene in one update — the training death spiral observed at aggressive
+    lr. Mistaken culls self-heal: the update probes every cell each time, so
+    a cell whose activity recovers re-lights on the next update.
     """
     nr, nt, npp = config.nr, config.ntheta, config.nphi
     r_min = config.r_min * solar_radius
@@ -178,14 +239,18 @@ def update_occupancy(grid: dict, config: OccupancyConfig,
 
     raw = field_apply(params, pts).raw.reshape(nr, nt, npp, -1)
     act = activity_fn(raw)
-    # clip at the 99.5th percentile before the mean: activities are
-    # unbounded (emission = exp(raw)), and a single transient hot cell can
-    # otherwise inflate the mean enough to cull the entire real scene in
-    # one update — a training death spiral observed at aggressive lr
-    act = jnp.minimum(act, jnp.percentile(act, 99.5))
-    occupied = (act > config.threshold * jnp.mean(act)).astype(jnp.float32)
-    return {
+    robust_max = jnp.percentile(act, 99.5)
+    occupied = (act > config.threshold * robust_max).astype(jnp.float32)
+    out = {
         'occ_r': jnp.maximum(grid['occ_r'] * config.decay,
                              occupied.max(axis=(1, 2))),
         'occ_ang': jnp.maximum(grid['occ_ang'] * config.decay,
                                occupied.max(axis=0))}
+    if 'occ_vol' in grid:
+        nvr, nvt, nvp = grid['occ_vol'].shape
+        # block-max pooling: cell-ordered layout makes this a static reshape
+        # + axis reductions, no scatter
+        pooled = occupied.reshape(nvr, nr // nvr, nvt, nt // nvt,
+                                  nvp, npp // nvp).max(axis=(1, 3, 5))
+        out['occ_vol'] = jnp.maximum(grid['occ_vol'] * config.decay, pooled)
+    return out

@@ -66,6 +66,8 @@ def _normalize_occupancy(render_kwargs: dict) -> dict:
         if not enabled:
             kwargs.pop('occupancy', None)
             return kwargs
+        if occ.get('nvol') is not None:
+            occ['nvol'] = tuple(occ['nvol'])  # JSON/YAML round-trips as list
         kwargs['occupancy'] = OccupancyConfig(**occ)
     return kwargs
 

@@ -247,6 +247,9 @@ class Trainer:
                         (np.asarray(g['occ_r']) > 0.5).mean())
                     m['occ_ang_frac'] = float(
                         (np.asarray(g['occ_ang']) > 0.5).mean())
+                    if 'occ_vol' in g:
+                        m['occ_vol_frac'] = float(
+                            (np.asarray(g['occ_vol']) > 0.5).mean())
                 if not np.isfinite(m['loss']):
                     raise FloatingPointError(
                         f'! [Numerical Alert] non-finite loss at step {step + 1}')

@@ -88,7 +88,15 @@ def _guarded_update(optimizer, state: TrainState, grads, loss,
     snapshot = (sel(healthy)(params, snap_params),
                 sel(healthy)(opt_state, snap_opt))
     new_ema = jnp.where(fresh, loss, 0.99 * ema + 0.01 * loss)
-    new_ema = jnp.where(tripped, ema, new_ema)
+    # Tripped: the spike must not enter the EMA, but the EMA must GROW (5%)
+    # rather than freeze — a frozen EMA latches the guard shut forever when
+    # the trigger was inter-batch loss variance rather than a ramp (observed:
+    # the DT multi-thermal raw-intensity scene tripped 2980/3000 steps and
+    # trained not at all, DT_ABLATION_r3). Consecutive trips now unlatch in
+    # O(log(loss/ema)/log(1.05)) steps; a genuine deterministic ramp is
+    # unaffected because its trips are NON-consecutive (each rollback is
+    # followed by tens of healthy re-ramp steps that keep the EMA tracking).
+    new_ema = jnp.where(tripped, ema * 1.05, new_ema)
     return params, opt_state, new_ema, snapshot, tripped.astype(jnp.float32)
 
 

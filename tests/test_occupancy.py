@@ -72,6 +72,79 @@ def test_update_occupancy_projects_active_cell():
     np.testing.assert_array_equal(occ_ang[:, 3:], np.ones((CFG.ntheta, 3)))
 
 
+def test_update_occupancy_culls_dominant_dim_background():
+    """A dim uniform background filling most of the volume must be CULLED
+    when a compact bright structure sets the scale — the grid's entire value
+    case. The old mean-relative criterion could never do this (when most
+    cells are background, the mean IS the background; OCC_VALUE_r3): the
+    reference is now the robust max (99.5th-percentile activity)."""
+
+    class FO:
+        def __init__(self, raw):
+            self.raw = raw
+
+    def field_apply(_params, pts):
+        r = jnp.linalg.norm(pts[:, :3], axis=-1)
+        phi = jnp.arctan2(pts[:, 1], pts[:, 0])
+        # bright compact blob (shell 4, phi in one sextant) on a 1% floor
+        blob = ((r >= 1.15) & (r < 1.1875)
+                & (phi > 0) & (phi < np.pi / 3)).astype(jnp.float32)
+        act = 0.01 + blob
+        return FO(jnp.stack([act, act], axis=-1))
+
+    zero = {'occ_r': jnp.zeros((CFG.nr,)),
+            'occ_ang': jnp.zeros((CFG.ntheta, CFG.nphi))}
+    grid = update_occupancy(zero, CFG, field_apply, {}, lambda raw: raw[..., 0],
+                            jax.random.key(0), 0.0)
+    occ_r = np.asarray(grid['occ_r'])
+    # only the blob shell survives; the 1%-of-peak background (well under
+    # threshold=5% of the robust max ~1.01) is culled everywhere else
+    np.testing.assert_array_equal(occ_r, [0, 0, 0, 0, 1, 0, 0, 0])
+    assert np.asarray(grid['occ_ang']).sum() > 0  # the blob sector is lit
+
+
+def test_volume_factor_culls_what_separable_factors_cannot():
+    """The canonical solar scene — a thin full shell PLUS a compact blob at
+    high r in a narrow sector — degenerates the separable bound: the shell
+    lights every angular cell and the blob lights its radial shells, so
+    min(occ_r, occ_ang) is 1 across the whole blob shell. The coarse 3D
+    occ_vol factor must cull (blob shell x off-sector) anyway."""
+
+    class FO:
+        def __init__(self, raw):
+            self.raw = raw
+
+    def field_apply(_params, pts):
+        r = jnp.linalg.norm(pts[:, :3], axis=-1)
+        phi = jnp.arctan2(pts[:, 1], pts[:, 0])
+        shell = r < 1.075                              # fine shells 0-1
+        blob = ((r >= 1.1875) & (r < 1.225)            # fine shell 5
+                & (phi > 0) & (phi < np.pi / 3))       # fine phi cell 3
+        act = (shell | blob).astype(jnp.float32)
+        return FO(jnp.stack([act, act], axis=-1))
+
+    zero = {'occ_r': jnp.zeros((CFG.nr,)),
+            'occ_ang': jnp.zeros((CFG.ntheta, CFG.nphi)),
+            'occ_vol': jnp.zeros(CFG.nvol)}
+    grid = update_occupancy(zero, CFG, field_apply, {}, lambda raw: raw[..., 0],
+                            jax.random.key(0), 0.0)
+
+    # the separable factors are blind here: blob shell lit radially, shell
+    # lights every angular cell
+    assert float(grid['occ_r'][5]) == 1.0
+    np.testing.assert_array_equal(np.asarray(grid['occ_ang']),
+                                  np.ones((CFG.ntheta, CFG.nphi)))
+
+    in_blob = jnp.asarray([[1.2 * np.cos(0.5), 1.2 * np.sin(0.5), 0.0]])
+    off_sector = jnp.asarray([[1.2 * np.cos(2.5), 1.2 * np.sin(2.5), 0.0]])
+    assert float(occupancy_at(grid, CFG, in_blob)[0]) == 1.0
+    # without the vol factor the off-sector point is (wrongly) occupied...
+    separable_only = {k: grid[k] for k in ('occ_r', 'occ_ang')}
+    assert float(occupancy_at(separable_only, CFG, off_sector)[0]) == 1.0
+    # ...the vol factor culls it
+    assert float(occupancy_at(grid, CFG, off_sector)[0]) == 0.0
+
+
 def test_update_occupancy_ema_decay():
     ones = init_occupancy(CFG)
 

@@ -119,7 +119,9 @@ def test_spike_guard_skips_bad_update():
     after = jax.tree.map(np.asarray, state.params)
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np.testing.assert_array_equal(a, b)
-    assert float(state.loss_ema) == ema  # spike does not enter the EMA
+    # the spike's value does not enter the EMA; it only grows by the 5%
+    # unlatch factor (see _guarded_update)
+    np.testing.assert_allclose(float(state.loss_ema), ema * 1.05, rtol=1e-6)
     assert int(state.step) == 4  # the step counter still advances
 
     # recovery: the next normal batch updates again
@@ -170,6 +172,42 @@ def test_spike_guard_rolls_back_past_ramp_steps():
     assert float(metrics['spike_trips']) == trips_before + 1
     state, metrics = step(state, batch, key)
     assert int(state.trip_count) == trips_before + 1  # healthy step: no change
+
+
+def test_spike_guard_unlatches_after_regime_shift():
+    """A PERSISTENT loss-level shift (e.g. high inter-batch variance scenes:
+    the DT multi-thermal ablation tripped 2980/3000 steps and never trained,
+    DT_ABLATION_r3) must not latch the guard shut: the EMA grows 5% on each
+    tripped step, so consecutive trips unlatch in O(log(ratio)/log(1.05))
+    steps and training resumes in the new regime."""
+    renderer, params, batch = _tiny_setup()
+    loss_config = LossConfig(lambda_regularization=0.0)
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3))
+    step = make_train_step(renderer, loss_config, optimizer, spike_guard=3.0)
+    state = create_train_state(params, optimizer, spike_guard=True)
+    key = jax.random.key(7)
+
+    # 30 steps: loss drops ~20x; the lagging EMA settles (as in the ramp test)
+    for _ in range(30):
+        state, metrics = step(state, batch, key)
+    assert float(metrics['update_skipped']) == 0.0
+    latched_params = jax.tree.map(np.asarray, state.params)
+
+    # every batch from here on lives in a ~4.7x-EMA loss regime (> the 3x bar)
+    shifted = dict(batch, target_image=batch['target_image'] + 3.0)
+    state, metrics = step(state, shifted, key)
+    assert float(metrics['update_skipped']) == 1.0  # first sight: trips
+
+    healthy_streak = 0
+    for i in range(400):
+        state, metrics = step(state, shifted, key)
+        healthy_streak = 0 if float(metrics['update_skipped']) else healthy_streak + 1
+        if healthy_streak >= 3:
+            break
+    assert healthy_streak >= 3, 'guard stayed latched across 400 steps'
+    moved = any(not np.array_equal(a, np.asarray(b)) for a, b in zip(
+        jax.tree.leaves(latched_params), jax.tree.leaves(state.params)))
+    assert moved, 'params never updated in the new regime'
 
 
 def test_genx_reader_roundtrip():
