@@ -48,6 +48,18 @@ CONFIGS = [
                                  '40', '--n-hierarchical', '80',
                                  '--tier-fraction', '0.5',
                                  '--tier-samples', '24']),
+    # round-3b: occupancy v2 rows (robust-max criterion + occ_vol factor) —
+    # the psi streamer scene is exactly the shell+blob class the vol factor
+    # was built for; steps equalize wall-clock via bench.py rates
+    # (occupancy 32+64 ~94.9k, +proposal ~120k, 24+48 est ~150k)
+    ('occ_half', 8000, ['--occupancy', '--n-stratified', '32',
+                        '--n-hierarchical', '64']),
+    ('prop_occ_half', 10000, ['--proposal-coarse', '--occupancy',
+                              '--n-stratified', '32',
+                              '--n-hierarchical', '64']),
+    ('prop_occ_24_48', 12500, ['--proposal-coarse', '--occupancy',
+                               '--n-stratified', '24',
+                               '--n-hierarchical', '48']),
 ]
 
 
@@ -57,7 +69,7 @@ def run_signature(steps, extra, seed):
         return (extra[extra.index(flag) + 1]
                 if flag in extra else default)
     proposal = '--proposal-coarse' in extra
-    return {
+    sig = {
         'n_stratified': int(val('--n-stratified', 64)),
         'n_hierarchical': int(val('--n-hierarchical', 128)),
         'proposal_coarse': proposal,
@@ -69,6 +81,10 @@ def run_signature(steps, extra, seed):
         'tier_samples': int(val('--tier-samples', 16)),
         'seed': seed,
     }
+    if '--occupancy' in extra:  # key absent when off (matches psi_protocol)
+        sig['occupancy'] = {'threshold': float(val('--occ-threshold', 0.05)),
+                            'floor': float(val('--occ-floor', 0.02))}
+    return sig
 
 
 def main():

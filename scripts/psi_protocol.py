@@ -65,6 +65,12 @@ def main():
                         help='adaptive per-ray budgets: fraction of dim rays '
                              'rendered at --tier-samples (renderer.py)')
     parser.add_argument('--tier-samples', type=int, default=16)
+    parser.add_argument('--occupancy', action='store_true',
+                        help='occupancy-guided stratified sampling '
+                             '(robust-max criterion + occ_vol factor, '
+                             'core/occupancy.py)')
+    parser.add_argument('--occ-threshold', type=float, default=0.05)
+    parser.add_argument('--occ-floor', type=float, default=0.02)
     parser.add_argument('--seed', type=int, default=7)
     parser.add_argument('--workdir', default=None)
     parser.add_argument('--out', default=None,
@@ -153,10 +159,13 @@ def main():
     coarse = (emission_config(n_layers=args.coarse_layers,
                               d_filter=args.coarse_filter)
               if args.proposal_coarse else None)
+    occ = ({'enabled': True, 'threshold': args.occ_threshold,
+            'floor': args.occ_floor, 'warmup': 500, 'update_every': 16}
+           if args.occupancy else None)
     renderer, init = make_emission_system(
         n_stratified=args.n_stratified, n_hierarchical=args.n_hierarchical,
         coarse_config=coarse, tier_fraction=args.tier_fraction,
-        tier_samples=args.tier_samples)
+        tier_samples=args.tier_samples, occupancy=occ)
     run_dir = os.path.join(workdir, 'run')
     trainer = Trainer(
         renderer, init, data,
@@ -192,6 +201,15 @@ def main():
            'rays_per_sec': round(float(np.median(rates[1:] or rates)), 1),
            'train': metrics['train'], 'test': metrics['test'],
            'workdir': workdir}
+    if args.occupancy:
+        # key absent when off: keeps pre-occupancy matrix rows' signatures
+        # (and so psi_matrix.py idempotency) unchanged
+        out['config']['occupancy'] = {'threshold': args.occ_threshold,
+                                      'floor': args.occ_floor}
+        tail = [r for r in recs if 'occ_vol_frac' in r]
+        if tail:
+            out['occ_fracs'] = {k: tail[-1][k] for k in
+                                ('occ_r_frac', 'occ_ang_frac', 'occ_vol_frac')}
     print(json.dumps(out))
     if args.out:
         with open(args.out, 'a') as fh:
