@@ -29,8 +29,19 @@ def run_variant(name, data, workdir, steps, seed, **sys_kwargs):
     from sunerf_tpu.train.objective import LossConfig
     from sunerf_tpu.train.optim import OptimConfig
 
+    # pixel_intensity_factor=1e17 is the reference module default
+    # (sunerf.py:155) and is load-bearing for LIFTOFF, not just scale: the
+    # DT head is multiplicative (image ~ exp(2 log_rho) * R(log_T) * pif), so
+    # gradient magnitude is proportional to prediction magnitude. At the
+    # base init (log_rho=10, log_T=5), pif=1e17 puts init predictions at
+    # O(10) ~ the target scale (live gradients); the first two ablation
+    # attempts trained at the GENERATION pif of 1e9, which put init
+    # predictions at 1e-10 — gradients ~1e-10, and every config collapsed to
+    # the zero-prediction score (PSNR -8.76, a scene constant;
+    # DT_ABLATION_r3 / DT_ABLATION2_r3, RESULTS.md). The trained field
+    # compensates with log_rho ~ 4 below the generating SimpleStar's.
     renderer, init = make_density_temperature_system(
-        pixel_intensity_factor=1e9, **sys_kwargs)
+        pixel_intensity_factor=1e17, **sys_kwargs)
     trainer = Trainer(
         renderer, init, data,
         loss_config=LossConfig(image_scaling='none',
