@@ -30,6 +30,15 @@ from sunerf_tpu.utils.checkpoint import (restore_train_checkpoint,
 from sunerf_tpu.utils.logging import MetricsLogger
 
 
+def degenerate_prediction(pred: np.ndarray, target: np.ndarray,
+                          rtol: float = 1e-6) -> bool:
+    """True when a validation prediction is (near-)zero relative to its
+    target — the signature of a collapsed multiplicative head (DT), whose
+    PSNR/SSIM are then seed-independent scene constants."""
+    return float(np.abs(pred).max()) < rtol * max(
+        float(np.abs(target).max()), 1e-30)
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     total_steps: int = 100_000
@@ -313,6 +322,23 @@ class Trainer:
         h, w = self.data.validation_shape
         n_ch = pred.shape[-1]
         val = {'val_loss': float(np.mean((pred_s - target_s) ** 2))}
+        # Degenerate-output sentinel: a (near-)zero prediction scores a
+        # seed-independent scene constant that is easy to misread as a real
+        # metric (the DT head's multiplicative parametrization collapses this
+        # way when the pixel_intensity_factor leaves init predictions orders
+        # of magnitude below the targets — see RESULTS.md round-3 DT
+        # ablation; two TPU reruns were burned before the constant was
+        # recognized). Flag it loudly at the source instead.
+        val['val_pred_absmax'] = float(np.abs(pred).max())
+        if degenerate_prediction(pred, target):
+            print(f'WARNING: validation prediction is (near-)zero '
+                  f'(|pred|_max={val["val_pred_absmax"]:.3e} vs '
+                  f'|target|_max={float(np.abs(target).max()):.3e}) — the '
+                  f'val PSNR/SSIM below are the zero-output scene constant, '
+                  f'not evidence of training. For DT heads check '
+                  f'pixel_intensity_factor (reference default 1e17).',
+                  flush=True)
+            val['val_pred_degenerate'] = True
         psnrs, ssims = [], []
         for c in range(n_ch):
             p_img = pred_s[:, c].reshape(h, w)

@@ -181,3 +181,58 @@ def test_dt_proposal_coarse_field():
     r2, init2 = from_spec(renderer.spec, use_fused=False)
     assert init2(jax.random.key(0))['coarse']['w_h'].shape == (1, 16, 16)
     assert r2.coarse_field_apply is not None
+
+
+def test_dt_default_pif_gives_liftoff_scale_init():
+    """The reference module's pixel_intensity_factor=1e17 (sunerf.py:155) is
+    load-bearing for optimization, not just units: the DT head is
+    multiplicative (image ~ exp(2 log_rho) * R(log_T) * pif), so gradient
+    magnitude tracks prediction magnitude. At the base init (log_rho=10,
+    log_T=5) the default pif must land init predictions within a few orders
+    of AIA-DN-scale targets (O(1-1e2)); at the 1e9 generation pif they are
+    ~1e-10 and training collapses to the zero-prediction score (RESULTS.md
+    round-3 DT ablation). Guards the default against rescaling."""
+    import jax
+    import jax.numpy as jnp
+
+    from sunerf_tpu.models.fields import density_temperature_config
+    from sunerf_tpu.systems import make_density_temperature_system
+
+    mc = density_temperature_config(n_layers=2, d_filter=32, n_freqs=3)
+    n = 32
+    key = jax.random.key(3)
+    rays_o = jnp.tile(jnp.array([[215.0, 0.0, 0.0]]), (n, 1))
+    d = -rays_o + 0.8 * jax.random.normal(key, (n, 3))
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    wl = jnp.broadcast_to(jnp.array([171.0, 193.0, 211.0, 304.0]), (n, 4))
+
+    def init_pred_absmax(pif):
+        renderer, init = make_density_temperature_system(
+            model_config=mc, use_fused=False, pixel_intensity_factor=pif,
+            n_stratified=16, n_hierarchical=16)
+        params = init(jax.random.key(0))
+        out = renderer(params, rays_o, rays_d, jnp.zeros((n, 1)),
+                       wavelengths=wl)
+        return float(jnp.abs(out['image']).max())
+
+    default = init_pred_absmax(1e17)    # the factory default
+    gen_scale = init_pred_absmax(1e9)   # the synthetic-generation scale
+    assert 1e-2 < default < 1e5, default       # alive at target scale
+    assert gen_scale < 1e-5, gen_scale         # provably dead at 1e9
+    assert abs(default / gen_scale - 1e8) / 1e8 < 1e-3  # pure scale factor
+
+
+def test_degenerate_prediction_sentinel():
+    """validate()'s zero-output sentinel: fires on a collapsed prediction,
+    stays quiet on a live one (and on an all-zero target)."""
+    import numpy as np
+
+    from sunerf_tpu.train.loop import degenerate_prediction
+
+    target = np.array([[3.0, 50.0], [0.2, 7.0]])
+    assert degenerate_prediction(np.zeros_like(target), target)
+    assert degenerate_prediction(np.full_like(target, 1e-9), target)
+    assert not degenerate_prediction(np.full_like(target, 0.5), target)
+    # all-zero target: nothing to collapse against; must not divide by zero
+    assert not degenerate_prediction(np.full_like(target, 0.5),
+                                     np.zeros_like(target))
