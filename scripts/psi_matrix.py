@@ -60,6 +60,11 @@ CONFIGS = [
     ('prop_occ_24_48', 12500, ['--proposal-coarse', '--occupancy',
                                '--n-stratified', '24',
                                '--n-hierarchical', '48']),
+    # no-grid control for prop_occ_24_48: the occ row hit 143k at
+    # matched-or-better 3-seed quality, but the value case says the budget
+    # (not the grid) is usually the lever — attribute it properly
+    ('prop_24_48', 12500, ['--proposal-coarse', '--n-stratified', '24',
+                           '--n-hierarchical', '48']),
 ]
 
 

@@ -17,7 +17,8 @@ def config_key(c):
     if c.get('proposal_coarse'):
         shape = c.get('coarse_shape') or [4, 128]
         prop = f" prop{shape[0]}x{shape[1]}"
-    return (f"{c['n_stratified']}+{c['n_hierarchical']}{prop}{tier} "
+    occ = ' occ' if c.get('occupancy') else ''
+    return (f"{c['n_stratified']}+{c['n_hierarchical']}{prop}{tier}{occ} "
             f"@{c['steps']}st")
 
 
