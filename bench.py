@@ -28,10 +28,14 @@ By default six opt-in accelerated configurations are also measured and
 reported as extra JSON keys; the headline metric/vs_baseline stay the
 reference-parity workload. --no-occupancy skips them. Quality evidence
 (RESULTS.md):
-  * proposal_half_*: proposal coarse + 32+64 budget — the NORTH-STAR
-    config: 120.3k rays/s/chip = 12.0x the estimated baseline on the
-    psi_193 protocol at 3-seed test PSNR matched-or-better than parity
-    (28.79 +- 1.12 vs 27.67 +- 1.36, equal wall-clock, PSI_MATRIX_r3);
+  * proposal_quarter_*: proposal coarse + 24+48 budget — the NORTH-STAR
+    RECORD config: 159.5k rays/s/chip = 16.0x the estimated baseline on
+    the psi_193 protocol at 3-seed test PSNR matched-or-better than
+    parity (28.80 +- 0.28 vs 27.67 +- 1.36, SSIM 0.887 vs 0.880, equal
+    wall-clock, PSI_MATRIX_r3);
+  * proposal_half_*: proposal coarse + 32+64 budget — 120.3k rays/s/chip
+    = 12.0x on the psi_193 protocol at 3-seed test PSNR matched-or-better
+    than parity (28.79 +- 1.12 vs 27.67 +- 1.36, equal wall-clock);
     also PSNR-within-noise on the SimpleStar closed loop.
   * budget_half_*: plain stratified 32+64 samples — 1.9x, PSNR/SSIM
     statistically matched on SimpleStar (scene-dependent on psi_193);
@@ -132,6 +136,9 @@ def main(argv=None):
                     ('proposal', dict(coarse_config=proposal)),
                     ('proposal_half', dict(n_stratified=32, n_hierarchical=64,
                                            coarse_config=proposal)),
+                    ('proposal_quarter', dict(n_stratified=24,
+                                              n_hierarchical=48,
+                                              coarse_config=proposal)),
                     # adaptive per-ray budgets (renderer.py _tiered_fine):
                     # the dim half of each batch renders at tier_samples
                     ('tiered', dict(coarse_config=proposal,
