@@ -65,6 +65,14 @@ CONFIGS = [
     # (not the grid) is usually the lever — attribute it properly
     ('prop_24_48', 12500, ['--proposal-coarse', '--n-stratified', '24',
                            '--n-hierarchical', '48']),
+    # frontier edge: prop_24_48 landed +1.13 dB over parity at 16.0x —
+    # how deep does the proposal-placed budget cut go before quality
+    # breaks? Steps equalize wall-clock via bench.py-extrapolated rates
+    # (20+40 ~185k, 16+32 ~210k).
+    ('prop_20_40', 15000, ['--proposal-coarse', '--n-stratified', '20',
+                           '--n-hierarchical', '40']),
+    ('prop_16_32', 17500, ['--proposal-coarse', '--n-stratified', '16',
+                           '--n-hierarchical', '32']),
 ]
 
 
