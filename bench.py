@@ -28,11 +28,14 @@ By default six opt-in accelerated configurations are also measured and
 reported as extra JSON keys; the headline metric/vs_baseline stay the
 reference-parity workload. --no-occupancy skips them. Quality evidence
 (RESULTS.md):
-  * proposal_quarter_*: proposal coarse + 24+48 budget — the NORTH-STAR
-    RECORD config: 159.5k rays/s/chip = 16.0x the estimated baseline on
+  * proposal_fifth_*: proposal coarse + 20+40 budget — the NORTH-STAR
+    RECORD config: 177.9k rays/s/chip = 17.8x the estimated baseline on
     the psi_193 protocol at 3-seed test PSNR matched-or-better than
-    parity (28.80 +- 0.28 vs 27.67 +- 1.36, SSIM 0.887 vs 0.880, equal
-    wall-clock, PSI_MATRIX_r3);
+    parity (28.57 +- 1.10 vs 27.67 +- 1.36, SSIM 0.889 vs 0.880, equal
+    wall-clock, PSI_MATRIX_r3); 16+32 is past the knee (RESULTS.md);
+  * proposal_quarter_*: proposal coarse + 24+48 budget — the
+    tightest-variance quality-matched config: 159.5k rays/s/chip = 16.0x
+    at 3-seed test PSNR 28.80 +- 0.28, SSIM 0.887 vs 0.880;
   * proposal_half_*: proposal coarse + 32+64 budget — 120.3k rays/s/chip
     = 12.0x on the psi_193 protocol at 3-seed test PSNR matched-or-better
     than parity (28.79 +- 1.12 vs 27.67 +- 1.36, equal wall-clock);
@@ -139,6 +142,9 @@ def main(argv=None):
                     ('proposal_quarter', dict(n_stratified=24,
                                               n_hierarchical=48,
                                               coarse_config=proposal)),
+                    ('proposal_fifth', dict(n_stratified=20,
+                                            n_hierarchical=40,
+                                            coarse_config=proposal)),
                     # adaptive per-ray budgets (renderer.py _tiered_fine):
                     # the dim half of each batch renders at tier_samples
                     ('tiered', dict(coarse_config=proposal,
