@@ -165,11 +165,21 @@ class SuNeRFLoader(ModelLoader):
 
     def __init__(self, state_path: str, batch_size: int = 4096,
                  use_fused: Optional[bool] = None,
-                 tier: Optional[tuple] = None):
+                 tier: Optional[tuple] = None,
+                 render_overrides: Optional[dict] = None):
+        """render_overrides: optional sampling kwargs merged over the saved
+        spec's render section (e.g. {'n_stratified': 64, 'n_hierarchical':
+        128}) — deployment renders need not use the train-time sample budget;
+        a model trained at a reduced budget can be rendered at the full one
+        (the quadrature budget at inference is a user choice, independent of
+        how the field was fit). None = render exactly as trained."""
         params, config = load_state(state_path)
         spec = config.get('renderer_spec')
         if spec is None:
             raise ValueError(f'{state_path} carries no renderer_spec')
+        if render_overrides:
+            spec = dict(spec,
+                        render=dict(spec.get('render', {}), **render_overrides))
         renderer, _ = from_spec(spec, use_fused=use_fused)
         ref_time = config.get('ref_time')
         super().__init__(

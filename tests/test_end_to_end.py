@@ -113,6 +113,20 @@ def test_closed_loop_training_and_reload(rendered_views, tmp_path):
     raw = loader.load_coords(np.zeros((5, 4), np.float32))
     assert raw.shape == (5, 2)
 
+    # eval-time budget override: deployment renders need not use the
+    # train-time sample budget (scripts/eval_budget_sweep.py)
+    loader_hi = SuNeRFLoader(os.path.join(workdir, 'save_state'),
+                             batch_size=256,
+                             render_overrides={'n_stratified': 16,
+                                               'n_hierarchical': 24})
+    assert loader_hi.renderer.n_stratified == 16
+    assert loader_hi.renderer.n_hierarchical == 24
+    assert loader.renderer.n_stratified == 8  # saved spec untouched
+    view_hi = loader_hi.render_observer_image(lat=0.3, lon=1.0, time=0.0,
+                                              distance=215.0, resolution=8)
+    assert view_hi.image.shape == (8, 8, 1)
+    assert np.all(np.isfinite(view_hi.image))
+
 
 def test_closed_loop_with_occupancy(rendered_views, tmp_path):
     """Occupancy-guided training (core/occupancy.py): the Trainer's EMA grid
