@@ -76,6 +76,8 @@ def main():
     parser.add_argument('--seeds', type=int, nargs='+', default=[7, 8, 9])
     parser.add_argument('--workdir', default=None)
     parser.add_argument('--out', default=None)
+    parser.add_argument('--configs', nargs='+', default=None,
+                        help='run only these named configs (default: all)')
     args = parser.parse_args()
 
     import jax
@@ -119,7 +121,14 @@ def main():
         ('dt_tiered_half', dict(model_config=model, n_stratified=32,
                                 n_hierarchical=64, coarse_config=proposal,
                                 tier_fraction=0.5, tier_samples=16)),
+        # plain proposal-placed budget cut, no tier — the config that
+        # DOMINATES on the emission head (RESULTS.md psi_193 matrix): does
+        # the lever generalize to the multiplicative DT head?
+        ('dt_prop_24_48', dict(model_config=model, n_stratified=24,
+                               n_hierarchical=48, coarse_config=proposal)),
     ]
+    if args.configs:
+        configs = [c for c in configs if c[0] in args.configs]
     summary = {}
     for cname, kwargs in configs:
         runs = [run_variant(f'{cname}_s{s}', data, workdir, args.steps,

@@ -73,6 +73,15 @@ CONFIGS = [
                            '--n-hierarchical', '40']),
     ('prop_16_32', 17500, ['--proposal-coarse', '--n-stratified', '16',
                            '--n-hierarchical', '32']),
+    # budget annealing: prop_16_32 underfits (the knee is a TRAINING
+    # deficiency — EVAL_BUDGET_r3 full-budget re-eval does not rescue it);
+    # a 15% warm phase at 24+48 establishes the field before the cheap
+    # budget takes over. Steps equalize wall-clock at the measured phase
+    # rates (24+48 159.5k, 16+32 191.2k -> harmonic 185.7k).
+    ('anneal_16_32', 15500, ['--proposal-coarse', '--n-stratified', '16',
+                             '--n-hierarchical', '32', '--anneal-frac',
+                             '0.15', '--anneal-stratified', '24',
+                             '--anneal-hierarchical', '48']),
 ]
 
 
@@ -97,6 +106,11 @@ def run_signature(steps, extra, seed):
     if '--occupancy' in extra:  # key absent when off (matches psi_protocol)
         sig['occupancy'] = {'threshold': float(val('--occ-threshold', 0.05)),
                             'floor': float(val('--occ-floor', 0.02))}
+    if '--anneal-frac' in extra:  # key absent when off (matches psi_protocol)
+        sig['anneal'] = {
+            'frac': float(val('--anneal-frac', 0.0)),
+            'n_stratified': int(val('--anneal-stratified', 24)),
+            'n_hierarchical': int(val('--anneal-hierarchical', 48))}
     return sig
 
 

@@ -71,6 +71,15 @@ def main():
                              'core/occupancy.py)')
     parser.add_argument('--occ-threshold', type=float, default=0.05)
     parser.add_argument('--occ-floor', type=float, default=0.02)
+    parser.add_argument('--anneal-frac', type=float, default=0.0,
+                        help='budget annealing: train the FIRST this '
+                             'fraction of steps at (--anneal-stratified, '
+                             '--anneal-hierarchical), then resume at the '
+                             'main budget for the rest (two compiled '
+                             'programs, checkpoint hand-off in between; '
+                             '0 = off)')
+    parser.add_argument('--anneal-stratified', type=int, default=24)
+    parser.add_argument('--anneal-hierarchical', type=int, default=48)
     parser.add_argument('--seed', type=int, default=7)
     parser.add_argument('--workdir', default=None)
     parser.add_argument('--out', default=None,
@@ -162,27 +171,69 @@ def main():
     occ = ({'enabled': True, 'threshold': args.occ_threshold,
             'floor': args.occ_floor, 'warmup': 500, 'update_every': 16}
            if args.occupancy else None)
-    renderer, init = make_emission_system(
-        n_stratified=args.n_stratified, n_hierarchical=args.n_hierarchical,
-        coarse_config=coarse, tier_fraction=args.tier_fraction,
-        tier_samples=args.tier_samples, occupancy=occ)
     run_dir = os.path.join(workdir, 'run')
-    trainer = Trainer(
-        renderer, init, data,
-        loss_config=LossConfig(lambda_regularization=0.1, scaling_vmax=10.0),
-        optim_config=OptimConfig(lr_start=1e-3, lr_end=1e-4,
-                                 lr_iterations=args.steps, lr_floor=1e-4),
-        spike_guard=10.0,
-        trainer_config=TrainerConfig(total_steps=args.steps,
-                                     val_every=args.steps,
-                                     checkpoint_every=args.steps,
-                                     log_every=max(args.steps // 10, 1),
-                                     save_val_images=False, seed=args.seed),
-        workdir=run_dir)
+    loss_config = LossConfig(lambda_regularization=0.1, scaling_vmax=10.0)
+    optim_config = OptimConfig(lr_start=1e-3, lr_end=1e-4,
+                               lr_iterations=args.steps, lr_floor=1e-4)
+
+    def make_trainer(n_strat, n_hier, total_steps, phase_start=0):
+        renderer, init = make_emission_system(
+            n_stratified=n_strat, n_hierarchical=n_hier,
+            coarse_config=coarse, tier_fraction=args.tier_fraction,
+            tier_samples=args.tier_samples, occupancy=occ)
+        return Trainer(
+            renderer, init, data,
+            loss_config=loss_config, optim_config=optim_config,
+            spike_guard=10.0,
+            trainer_config=TrainerConfig(total_steps=total_steps,
+                                         val_every=args.steps,
+                                         checkpoint_every=total_steps,
+                                         # ~10 windows per PHASE so a short
+                                         # anneal phase still contributes
+                                         # usable rate samples
+                                         log_every=max((total_steps
+                                                        - phase_start) // 10,
+                                                       1),
+                                         save_val_images=False,
+                                         seed=args.seed),
+            workdir=run_dir)
+
+    phase1_steps = int(round(args.anneal_frac * args.steps))
+    phase_starts = [0]
+    if phase1_steps:
+        # budget annealing: the deep-cut budgets (16+32) underfit when the
+        # proposal CDF is still random early on (RESULTS.md frontier-edge /
+        # eval-budget sweep: the knee is a TRAINING deficiency); a short
+        # moderate-budget phase establishes the field, then the cheap budget
+        # takes over via the checkpoint/resume path (two compiled programs,
+        # params are budget-independent).
+        make_trainer(args.anneal_stratified, args.anneal_hierarchical,
+                     phase1_steps).fit()
+        phase_starts.append(phase1_steps)
+    trainer = make_trainer(args.n_stratified, args.n_hierarchical, args.steps,
+                           phase_start=phase1_steps)
     trainer.fit()
     with open(os.path.join(run_dir, 'metrics.jsonl')) as fh:
         recs = [json.loads(line) for line in fh]
-    rates = [r['rays_per_sec'] for r in recs if 'rays_per_sec' in r]
+    samples = sorted((r['step'], r['rays_per_sec'])
+                     for r in recs if 'rays_per_sec' in r)
+    if phase1_steps:
+        # mixed-budget run: effective steady-state rate = total rays / total
+        # time over the kept windows (ray-weighted harmonic mean). Windows
+        # that contain a phase start absorb that program's compile time and
+        # are dropped — same convention as the single-phase rates[1:].
+        kept, prev = [], 0
+        for step_i, rate_i in samples:
+            w = step_i - prev
+            if w > 0 and rate_i > 0 and not any(
+                    prev <= s < step_i for s in phase_starts):
+                kept.append((w, rate_i))
+            prev = step_i
+        rate = (sum(w for w, _ in kept)
+                / sum(w / r for w, r in kept))
+    else:
+        rates = [r for _, r in samples]
+        rate = float(np.median(rates[1:] or rates))
 
     loader = SuNeRFLoader(os.path.join(run_dir, 'save_state.npz'))
     metrics = evaluate_viewpoints(loader,
@@ -198,9 +249,16 @@ def main():
                       'tier_fraction': args.tier_fraction,
                       'tier_samples': args.tier_samples,
                       'seed': args.seed},
-           'rays_per_sec': round(float(np.median(rates[1:] or rates)), 1),
+           'rays_per_sec': round(rate, 1),
            'train': metrics['train'], 'test': metrics['test'],
            'workdir': workdir}
+    if phase1_steps:
+        # key absent when off: keeps pre-anneal matrix rows' signatures
+        # (and so psi_matrix.py idempotency) unchanged
+        out['config']['anneal'] = {
+            'frac': args.anneal_frac,
+            'n_stratified': args.anneal_stratified,
+            'n_hierarchical': args.anneal_hierarchical}
     if args.occupancy:
         # key absent when off: keeps pre-occupancy matrix rows' signatures
         # (and so psi_matrix.py idempotency) unchanged

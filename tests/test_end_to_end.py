@@ -128,6 +128,65 @@ def test_closed_loop_training_and_reload(rendered_views, tmp_path):
     assert np.all(np.isfinite(view_hi.image))
 
 
+def test_budget_anneal_handoff(rendered_views, tmp_path):
+    """Budget annealing (scripts/psi_protocol.py --anneal-frac): a warm phase
+    at one sample budget hands off to a second Trainer at a cheaper budget
+    through the checkpoint/resume path — params are budget-independent, so
+    only the compiled program changes mid-run."""
+    tmp_path_renders, config, _ = rendered_views
+
+    from sunerf_tpu.data.loaders import build_single_channel_data
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig
+
+    data = build_single_channel_data(
+        str(tmp_path_renders / 'renders' / 'aia' / '193' / '*.fits'),
+        str(tmp_path / 'work'), batch_size=128)
+    workdir = str(tmp_path / 'run')
+    mc = emission_config(n_layers=2, d_filter=32)
+
+    def make_trainer(n_strat, n_hier, total_steps):
+        renderer, init = make_emission_system(
+            model_config=mc, n_stratified=n_strat, n_hierarchical=n_hier)
+        return Trainer(
+            renderer, init, data,
+            loss_config=LossConfig(scaling_vmax=10.0),
+            optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+            trainer_config=TrainerConfig(total_steps=total_steps,
+                                         val_every=total_steps,
+                                         checkpoint_every=total_steps,
+                                         log_every=5, save_val_images=False),
+            workdir=workdir)
+
+    make_trainer(12, 12, 15).fit()           # warm phase at the fuller budget
+    trainer2 = make_trainer(6, 6, 30)        # cheap phase resumes at step 15
+    assert int(trainer2.state.step) == 15
+    state = trainer2.fit()
+    assert int(state.step) == 30
+
+    import json
+    with open(os.path.join(workdir, 'metrics.jsonl')) as f:
+        recs = [json.loads(line) for line in f]
+    losses = [(r['step'], r['loss']) for r in recs if 'loss' in r]
+    assert any(s <= 15 for s, _ in losses) and any(s > 15 for s, _ in losses)
+    assert all(np.isfinite(l) for _, l in losses)
+
+    # the deployment bundle carries the LAST phase's (cheap) budget, and the
+    # eval-budget override restores the full one (scripts/eval_budget_sweep.py)
+    loader = SuNeRFLoader(os.path.join(workdir, 'save_state'), batch_size=256)
+    assert loader.renderer.n_stratified == 6
+    loader_hi = SuNeRFLoader(os.path.join(workdir, 'save_state'),
+                             batch_size=256,
+                             render_overrides={'n_stratified': 12,
+                                               'n_hierarchical': 12})
+    view = loader_hi.render_observer_image(lat=0.2, lon=0.5, time=0.0,
+                                           distance=215.0, resolution=8)
+    assert np.all(np.isfinite(view.image))
+
+
 def test_closed_loop_with_occupancy(rendered_views, tmp_path):
     """Occupancy-guided training (core/occupancy.py): the Trainer's EMA grid
     updates run, training converges, and the checkpoint round-trips the grid."""
