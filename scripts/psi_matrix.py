@@ -82,6 +82,20 @@ CONFIGS = [
                              '--n-hierarchical', '32', '--anneal-frac',
                              '0.15', '--anneal-stratified', '24',
                              '--anneal-hierarchical', '48']),
+    # architecture axis: the quarter-budget step is still fine-MLP-bound
+    # (scripts/probe_overhead.py, same-process A/B: 8x512 6.58 ms, 6x384
+    # 3.43 ms = 298k rays/s, 4x256 2.16 ms = 473k), and the 6x384 probe at
+    # HALF the equal-wall-clock steps already scored 28.72 test PSNR (s7).
+    # Steps equalize wall-clock at the clean probe rates.
+    ('arch_6x384', 25000, ['--proposal-coarse', '--n-stratified', '24',
+                           '--n-hierarchical', '48', '--model-layers', '6',
+                           '--model-filter', '384']),
+    ('arch_4x256', 39500, ['--proposal-coarse', '--n-stratified', '24',
+                           '--n-hierarchical', '48', '--model-layers', '4',
+                           '--model-filter', '256']),
+    ('arch_6x384_half', 19500, ['--proposal-coarse', '--n-stratified', '32',
+                                '--n-hierarchical', '64', '--model-layers',
+                                '6', '--model-filter', '384']),
 ]
 
 
@@ -111,6 +125,9 @@ def run_signature(steps, extra, seed):
             'frac': float(val('--anneal-frac', 0.0)),
             'n_stratified': int(val('--anneal-stratified', 24)),
             'n_hierarchical': int(val('--anneal-hierarchical', 48))}
+    shape = (int(val('--model-layers', 8)), int(val('--model-filter', 512)))
+    if shape != (8, 512):  # key absent at parity (matches psi_protocol)
+        sig['model_shape'] = list(shape)
     return sig
 
 

@@ -80,6 +80,13 @@ def main():
                              '0 = off)')
     parser.add_argument('--anneal-stratified', type=int, default=24)
     parser.add_argument('--anneal-hierarchical', type=int, default=48)
+    parser.add_argument('--model-layers', type=int, default=8,
+                        help='FINE field depth (reference parity: 8x512, '
+                             'model.py:12-42) — the quality-per-FLOP axis '
+                             'also includes the field itself')
+    parser.add_argument('--model-filter', type=int, default=512,
+                        help='FINE field width (multiples of 128 keep the '
+                             'fused kernel lane-aligned)')
     parser.add_argument('--seed', type=int, default=7)
     parser.add_argument('--workdir', default=None)
     parser.add_argument('--out', default=None,
@@ -178,6 +185,8 @@ def main():
 
     def make_trainer(n_strat, n_hier, total_steps, phase_start=0):
         renderer, init = make_emission_system(
+            model_config=emission_config(n_layers=args.model_layers,
+                                         d_filter=args.model_filter),
             n_stratified=n_strat, n_hierarchical=n_hier,
             coarse_config=coarse, tier_fraction=args.tier_fraction,
             tier_samples=args.tier_samples, occupancy=occ)
@@ -252,6 +261,10 @@ def main():
            'rays_per_sec': round(rate, 1),
            'train': metrics['train'], 'test': metrics['test'],
            'workdir': workdir}
+    if (args.model_layers, args.model_filter) != (8, 512):
+        # key absent at reference parity: keeps earlier rows' signatures
+        # (and so psi_matrix.py idempotency) unchanged
+        out['config']['model_shape'] = [args.model_layers, args.model_filter]
     if phase1_steps:
         # key absent when off: keeps pre-anneal matrix rows' signatures
         # (and so psi_matrix.py idempotency) unchanged
