@@ -53,6 +53,13 @@ class TrainerConfig:
     # profiling at all); 0 disables
     profile_steps: int = 0
     profile_start: int = 10
+    # keep a 'save_state_best' deployment bundle at the highest held-out
+    # val PSNR seen so far (the reference keeps only save_last,
+    # run_emission.py:53-55). Motivated by a measured failure mode: small
+    # fields on long high-lr schedules overfit training rays while
+    # re-rendered views DEGRADE (RESULTS.md architecture axis), so
+    # last != best.
+    keep_best: bool = False
 
 
 class Trainer:
@@ -356,6 +363,15 @@ class Trainer:
         if psnrs:
             val['val_psnr'] = float(np.mean(psnrs))
             val['val_ssim'] = float(np.mean(ssims))
+            if self.config.keep_best and \
+                    val['val_psnr'] > getattr(self, '_best_val_psnr', -np.inf):
+                self._best_val_psnr = val['val_psnr']
+                config = dict(self.data.config)
+                if self.renderer.spec is not None:
+                    config['renderer_spec'] = self.renderer.spec
+                save_state(os.path.join(self.workdir, 'save_state_best'),
+                           jax.tree.map(np.asarray, self.state.params), config)
+                val['val_best_psnr'] = val['val_psnr']
         self.logger.log(val, step)
         return val
 

@@ -128,6 +128,53 @@ def test_closed_loop_training_and_reload(rendered_views, tmp_path):
     assert np.all(np.isfinite(view_hi.image))
 
 
+def test_keep_best_checkpoint(rendered_views, tmp_path):
+    """keep_best writes a save_state_best bundle at the highest held-out val
+    PSNR (last != best when long schedules degrade — RESULTS.md arch axis)."""
+    tmp_path_renders, config, _ = rendered_views
+
+    from sunerf_tpu.data.loaders import build_single_channel_data
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig
+
+    data = build_single_channel_data(
+        str(tmp_path_renders / 'renders' / 'aia' / '193' / '*.fits'),
+        str(tmp_path / 'work'), batch_size=128)
+    renderer, init = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32),
+        n_stratified=8, n_hierarchical=8)
+    workdir = str(tmp_path / 'run')
+    trainer = Trainer(
+        renderer, init, data,
+        loss_config=LossConfig(scaling_vmax=10.0),
+        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+        trainer_config=TrainerConfig(total_steps=30, val_every=10,
+                                     checkpoint_every=30, log_every=10,
+                                     save_val_images=False, keep_best=True),
+        workdir=workdir)
+    trainer.fit()
+
+    assert os.path.exists(os.path.join(workdir, 'save_state_best.npz'))
+    import json
+    with open(os.path.join(workdir, 'metrics.jsonl')) as f:
+        recs = [json.loads(line) for line in f]
+    vals = [r for r in recs if 'val_psnr' in r]
+    bests = [r['val_best_psnr'] for r in recs if 'val_best_psnr' in r]
+    # the best tracker is the running max of the val PSNRs
+    assert bests and max(bests) == max(v['val_psnr'] for v in vals)
+    assert bests == sorted(bests)
+
+    # the best bundle loads and renders like any deployment bundle
+    loader = SuNeRFLoader(os.path.join(workdir, 'save_state_best'),
+                          batch_size=256)
+    view = loader.render_observer_image(lat=0.1, lon=0.3, time=0.0,
+                                        distance=215.0, resolution=8)
+    assert np.all(np.isfinite(view.image))
+
+
 def test_budget_anneal_handoff(rendered_views, tmp_path):
     """Budget annealing (scripts/psi_protocol.py --anneal-frac): a warm phase
     at one sample budget hands off to a second Trainer at a cheaper budget
