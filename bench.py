@@ -145,6 +145,15 @@ def main(argv=None):
                     ('proposal_fifth', dict(n_stratified=20,
                                             n_hierarchical=40,
                                             coarse_config=proposal)),
+                    # architecture axis: a 6x384 fine field (0.42x the
+                    # FLOPs) — the quarter-budget step is fine-MLP-bound
+                    # (scripts/probe_overhead.py), so this scales nearly
+                    # with FLOPs; quality evidence in RESULTS.md arch rows
+                    ('arch_6x384', dict(
+                        model_config=emission_config(n_layers=6,
+                                                     d_filter=384),
+                        n_stratified=24, n_hierarchical=48,
+                        coarse_config=proposal)),
                     # adaptive per-ray budgets (renderer.py _tiered_fine):
                     # the dim half of each batch renders at tier_samples
                     ('tiered', dict(coarse_config=proposal,

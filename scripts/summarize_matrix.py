@@ -18,8 +18,14 @@ def config_key(c):
         shape = c.get('coarse_shape') or [4, 128]
         prop = f" prop{shape[0]}x{shape[1]}"
     occ = ' occ' if c.get('occupancy') else ''
-    return (f"{c['n_stratified']}+{c['n_hierarchical']}{prop}{tier}{occ} "
-            f"@{c['steps']}st")
+    arch = (f" fine{c['model_shape'][0]}x{c['model_shape'][1]}"
+            if c.get('model_shape') else '')
+    ann = ''
+    if c.get('anneal'):
+        a = c['anneal']
+        ann = f" anneal{a['frac']}@{a['n_stratified']}+{a['n_hierarchical']}"
+    return (f"{c['n_stratified']}+{c['n_hierarchical']}{prop}{arch}{tier}"
+            f"{occ}{ann} @{c['steps']}st")
 
 
 def main():
