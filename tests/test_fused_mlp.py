@@ -33,6 +33,31 @@ def test_fused_forward_matches_reference():
     assert float(jnp.max(jnp.abs(ref - fused))) < 0.01 * scale + 1e-4
 
 
+@pytest.mark.parametrize('n_layers,d_filter', [(6, 384), (4, 256), (4, 128)])
+def test_fused_parity_at_production_arch_shapes(n_layers, d_filter):
+    """The architecture dial (RESULTS.md arch axis) ships 6x384/4x256 fine
+    fields and the 4x128 proposal coarse field through the same fused kernel
+    — pin forward AND gradient parity at those exact shapes."""
+    config = emission_config(n_layers=n_layers, d_filter=d_filter)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.normal(jax.random.key(1), (48, 4))
+
+    ref = nerf_apply(config, params, pts).raw
+    fused = nerf_apply_fused(config, params, pts, tile=16, bwd_tile=16,
+                             interpret=True).raw
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(ref - fused))) < 0.01 * scale + 1e-4
+
+    g_ref = jax.grad(lambda p: jnp.mean(nerf_apply(config, p, pts).raw ** 2))(params)
+    g_fused = jax.grad(lambda p: jnp.mean(
+        nerf_apply_fused(config, p, pts, tile=16, bwd_tile=16,
+                         interpret=True).raw ** 2))(params)
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_fused[k])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
+        assert rel < 0.03, f'{k}: {rel}'
+
+
 def test_fused_gradients_match_reference():
     config = emission_config(**TINY)
     params = init_nerf(jax.random.key(0), config)
