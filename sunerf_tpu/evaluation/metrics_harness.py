@@ -75,9 +75,20 @@ def main(argv=None):
     parser.add_argument('--batch-size', type=int, default=4096)
     parser.add_argument('--scaling', default='asinh', choices=['asinh', 'none'])
     parser.add_argument('--output', default=None)
+    parser.add_argument('--eval-stratified', type=int, default=None,
+                        help='override the train-time stratified sample '
+                             'count for evaluation renders '
+                             '(SuNeRFLoader render_overrides)')
+    parser.add_argument('--eval-hierarchical', type=int, default=None)
     args = parser.parse_args(argv)
 
-    loader = SuNeRFLoader(args.state, batch_size=args.batch_size)
+    overrides = {}
+    if args.eval_stratified is not None:
+        overrides['n_stratified'] = args.eval_stratified
+    if args.eval_hierarchical is not None:
+        overrides['n_hierarchical'] = args.eval_hierarchical
+    loader = SuNeRFLoader(args.state, batch_size=args.batch_size,
+                          render_overrides=overrides or None)
     files = sorted(glob.glob(args.data))
     result = evaluate_viewpoints(loader, files, args.lat_split, args.scaling)
     summary = {k: result[k] for k in ('train', 'test', 'all', 'n_train', 'n_test')}
