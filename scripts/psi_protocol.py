@@ -227,19 +227,10 @@ def main():
     samples = sorted((r['step'], r['rays_per_sec'])
                      for r in recs if 'rays_per_sec' in r)
     if phase1_steps:
-        # mixed-budget run: effective steady-state rate = total rays / total
-        # time over the kept windows (ray-weighted harmonic mean). Windows
-        # that contain a phase start absorb that program's compile time and
-        # are dropped — same convention as the single-phase rates[1:].
-        kept, prev = [], 0
-        for step_i, rate_i in samples:
-            w = step_i - prev
-            if w > 0 and rate_i > 0 and not any(
-                    prev <= s < step_i for s in phase_starts):
-                kept.append((w, rate_i))
-            prev = step_i
-        rate = (sum(w for w, _ in kept)
-                / sum(w / r for w, r in kept))
+        # mixed-budget run: ray-weighted harmonic mean over the kept windows
+        # (compile windows dropped — utils/throughput.py has the semantics)
+        from sunerf_tpu.utils.throughput import effective_rate
+        rate = effective_rate(samples, phase_starts)
     else:
         rates = [r for _, r in samples]
         rate = float(np.median(rates[1:] or rates))

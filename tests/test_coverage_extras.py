@@ -171,3 +171,32 @@ def test_stereo_to_sdo_conversion_contract(tmp_path):
     # resumable: everything already converted -> nothing to do, and the
     # default (dependency-gated) translator is never constructed
     assert convert_stereo_to_sdo(str(data), str(out)) == []
+
+
+def test_effective_rate_windowing():
+    """Throughput accounting (utils/throughput.py): compile windows dropped
+    per phase, remaining windows combined as a ray-weighted harmonic mean —
+    the semantics behind every mixed-budget rays/s number in RESULTS.md."""
+    import pytest
+
+    from sunerf_tpu.utils.throughput import effective_rate
+
+    # single phase: first window (compile) dropped, equal windows -> plain
+    # harmonic mean of the rest
+    samples = [(10, 1.0), (20, 100.0), (30, 200.0)]
+    rate = effective_rate(samples)
+    assert rate == pytest.approx(2 / (1 / 100 + 1 / 200))
+
+    # two phases: the window containing the phase start is dropped too, and
+    # unequal window lengths are ray-weighted
+    samples = [(10, 1.0), (20, 100.0), (30, 100.0),   # phase 1 (starts 0)
+               (45, 1.0), (65, 300.0)]                # phase 2 (starts 30)
+    rate = effective_rate(samples, phase_starts=(0, 30))
+    # kept: (10, 100), (10, 100) from phase 1 and (20, 300) from phase 2
+    assert rate == pytest.approx((10 + 10 + 20) / (10 / 100 + 10 / 100 + 20 / 300))
+
+    # order-independent
+    assert effective_rate(reversed(samples), phase_starts=(0, 30)) == rate
+
+    with pytest.raises(ValueError):
+        effective_rate([(10, 50.0)])  # only the compile window exists
