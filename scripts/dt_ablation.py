@@ -126,6 +126,13 @@ def main():
         # the lever generalize to the multiplicative DT head?
         ('dt_prop_24_48', dict(model_config=model, n_stratified=24,
                                n_hierarchical=48, coarse_config=proposal)),
+        # architecture axis on the DT head (emission-head evidence:
+        # RESULTS.md arch rows; the DT step is the same fused MLP + a
+        # per-wavelength quadrature)
+        ('dt_arch_6x384', dict(
+            model_config=density_temperature_config(
+                n_layers=6, d_filter=384, n_freqs_time=2),
+            n_stratified=24, n_hierarchical=48, coarse_config=proposal)),
     ]
     if args.configs:
         configs = [c for c in configs if c[0] in args.configs]

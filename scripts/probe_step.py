@@ -1,6 +1,5 @@
 #!/usr/bin/env python
 """A/B the full training step across fused-kernel knobs."""
-import functools
 import os
 import sys
 import time

@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(name, data, workdir, steps, seed, spike_guard):
-    import numpy as np
 
     from sunerf_tpu.systems import make_emission_system
     from sunerf_tpu.train.loop import Trainer, TrainerConfig
