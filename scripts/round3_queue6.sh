@@ -1,7 +1,9 @@
 #!/bin/bash
 # Round-3 TPU queue, part 6: everything blocked on the 2026-08-17 tunnel
 # outage, to run unattended once the backend answers again.
-#   1. wait for the TPU backend to initialize (probe loop)
+#   1. wait for the TPU backend to initialize (probe loop; each probe is
+#      bounded with `timeout 90` — an unbounded probe hangs ~25 min against
+#      a dead tunnel)
 #   2. architecture matrix rows (psi_matrix is idempotent: arch_6x384
 #      s8/s9, arch_4x256 x3 @20k, arch_6x384_half x3 @10k)
 #   3. DT ablation additions (plain 24+48 budget cut + 6x384 arch row)
@@ -10,15 +12,16 @@ set -u
 cd /root/repo
 echo "=== queue6 start $(date) ==="
 
-for i in $(seq 1 60); do
-    if python -c "import jax, jax.numpy as jnp; float(jnp.ones((8,8)).sum())" \
+for i in $(seq 1 200); do
+    if timeout 90 python -c \
+        "import jax, jax.numpy as jnp; float(jnp.ones((8,8)).sum())" \
         >/dev/null 2>&1; then
         echo "--- tunnel up $(date) ---"; break
     fi
-    echo "probe $i failed $(date)"; sleep 120
+    echo "probe $i failed $(date)"; sleep 180
 done
 
-timeout 7200 python scripts/psi_matrix.py --out PSI_MATRIX_r3.jsonl \
+timeout 10800 python scripts/psi_matrix.py --out PSI_MATRIX_r3.jsonl \
     --seeds 7 8 9 2>&1 | tail -20
 echo "--- matrix done $(date) ---"
 

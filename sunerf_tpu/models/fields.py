@@ -60,10 +60,28 @@ class NeRFConfig:
     # matmul precision for the hot path; 'highest' for parity tests,
     # 'default' lets XLA use fast bf16 passes on the MXU.
     precision: str = 'default'
+    # learned feature-grid encoding (ops/grid_encoding.py): dense per-level
+    # tables whose trilinear features are CONCATENATED after the positional
+    # encoding (beyond-reference quality-per-FLOP component; the reference
+    # encodes with sin/cos bands only, model.py:92-132). () = off.
+    grid_sizes: tuple = ()
+    grid_features: int = 8
+    grid_bound: float = 2.0
+
+    def __post_init__(self):
+        # specs round-trip through JSON (systems.py:255), which turns tuples
+        # into lists; coerce so the config stays hashable for jit closure
+        if not isinstance(self.grid_sizes, tuple):
+            object.__setattr__(self, 'grid_sizes', tuple(self.grid_sizes))
+
+    @property
+    def d_grid(self) -> int:
+        return len(self.grid_sizes) * self.grid_features
 
     @property
     def d_encoded(self) -> int:
-        return encoded_dim(self.d_input, self.n_freqs, self.n_freqs_time)
+        return (encoded_dim(self.d_input, self.n_freqs, self.n_freqs_time)
+                + self.d_grid)
 
 
 def _linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32):
@@ -78,7 +96,7 @@ def init_nerf(key: jax.Array, config: NeRFConfig) -> dict:
     """Initialize the param pytree. Hidden layers are stacked [L-1, d, d] so the
     forward pass is a single lax.scan (one compiled matmul, not L-1 of them)."""
     n_hidden = config.n_layers - 1
-    keys = jax.random.split(key, n_hidden + 2)
+    keys = jax.random.split(key, n_hidden + 2 + len(config.grid_sizes))
     w_in, b_in = _linear_init(keys[0], config.d_encoded, config.d_filter)
     hidden = [_linear_init(k, config.d_filter, config.d_filter) for k in keys[1:1 + n_hidden]]
     w_out, b_out = _linear_init(keys[-1], config.d_filter, config.d_output)
@@ -91,6 +109,10 @@ def init_nerf(key: jax.Array, config: NeRFConfig) -> dict:
     if config.with_aux:
         params['log_abs'] = jnp.full((len(AIA_WAVELENGTHS),), 1e-6, jnp.float32)
         params['vol_c'] = jnp.asarray(1.0, jnp.float32)
+    for i, g in enumerate(config.grid_sizes):
+        from sunerf_tpu.ops.grid_encoding import grid_table_init
+        params[f'grid_{i}'] = grid_table_init(
+            keys[n_hidden + 2 + i], g, config.grid_features)
     return params
 
 
@@ -112,6 +134,12 @@ def nerf_apply(config: NeRFConfig, params: dict, points: jnp.ndarray) -> FieldOu
     prec = _precision(config)
     x = positional_encoding(points, config.n_freqs, config.scale_factor,
                             n_freqs_time=config.n_freqs_time)
+    if config.grid_sizes:
+        from sunerf_tpu.ops.grid_encoding import grid_encode
+        feats = [grid_encode(params[f'grid_{i}'], points,
+                             bound=config.grid_bound, precision=prec)
+                 for i in range(len(config.grid_sizes))]
+        x = jnp.concatenate([x] + feats, axis=-1)
     h = jnp.sin(jnp.dot(x, params['w_in'], precision=prec) + params['b_in'])
 
     def layer(h, wb):

@@ -1,0 +1,132 @@
+"""TPU-native learned feature-grid encoding (instant-NGP's speedup lever,
+re-designed for the MXU).
+
+Instant-NGP's multiresolution hash grid (Mueller et al. 2022) is gather-bound:
+8 table lookups per point per level. Gathers are catastrophically slow in XLA
+on TPU (CLAUDE.md perf facts), so this module uses a SEPARABLE ONE-HOT
+CONTRACTION instead — no gather anywhere:
+
+    feats[n, f] = sum_{x,y,z} wx[n,x] * wy[n,y] * wz[n,z] * T[y, z, x, f]
+
+with per-axis trilinear hat weights w[n,g] = max(0, 1 - |u_n - g|) built from
+pure comparisons (each row has exactly the 2 bracketing nonzeros). The
+contraction is split so only the (y,z) pair is ever materialized:
+
+    wyz[n, (y z)] = wy outer wz                 # VPU, N*G^2 elements
+    S[n, (x f)]   = wyz @ T[(y z), (x f)]       # MXU, 2*N*G^3*F FLOPs
+    feats[n, f]   = sum_x wx[n, x] * S[n, x, f] # VPU, N*G*F
+
+For G=32, F=8 that is 0.52 MFLOP/point on the MXU — ~14% of the flagship
+8x512 MLP's 3.8 MFLOP/point — so grid features that let the MLP shrink to
+4x128 (~0.12 MFLOP/point) cut total field FLOPs ~6x. The dense-table waste
+(wyz has 4 nonzeros of G^2) is the price of staying on the systolic array;
+at G<=32 the MXU wins it back (take_along_axis gathers measured catastrophic
+on v5e, scripts/probe_grid_encoding.py).
+
+Tables stay small enough to be VMEM-resident in the fused kernel
+(32^3 x 8 f32 = 1 MB); this module is the XLA path and the correctness
+oracle for the Pallas kernel (ops/pallas/fused_mlp.py grid variant).
+
+No reference counterpart (the reference encodes with sin/cos bands only,
+sunerf/model/model.py:92-132); this is a beyond-reference quality-per-FLOP
+component. The NGP ingredients kept: multi-level tables, U(-1e-4, 1e-4)
+init, features concatenated to the MLP input.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_table_init(key: jax.Array, grid_size: int, features: int,
+                    scale: float = 1e-4) -> jnp.ndarray:
+    """[G, G, G, F] feature table, axis order (y, z, x, f) — the apply-side
+    contraction layout (reshape to [(y z), (x f)] is free). U(-scale, scale)
+    init as in instant-NGP."""
+    return jax.random.uniform(
+        key, (grid_size, grid_size, grid_size, features),
+        jnp.float32, -scale, scale)
+
+
+def _hat_weights(u: jnp.ndarray, grid_size: int, dtype) -> jnp.ndarray:
+    """[N] continuous cell coords -> [N, G] trilinear hat rows:
+    max(0, 1 - |u - g|). Exactly 2 nonzeros per row (1 on cell centers);
+    rows sum to 1 for u in [0, G-1]."""
+    cells = jnp.arange(grid_size, dtype=dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u[:, None] - cells)).astype(dtype)
+
+
+def _encode_block(table2d: jnp.ndarray, u: jnp.ndarray, grid_size: int,
+                  features: int, precision) -> jnp.ndarray:
+    """u: [C, 3] clamped cell coords -> [C, F]."""
+    dt = table2d.dtype
+    wx = _hat_weights(u[:, 0], grid_size, dt)                    # [C, G]
+    wy = _hat_weights(u[:, 1], grid_size, dt)
+    wz = _hat_weights(u[:, 2], grid_size, dt)
+    wyz = (wy[:, :, None] * wz[:, None, :]).reshape(u.shape[0], -1)
+    s = jnp.matmul(wyz, table2d, precision=precision)            # [C, G*F]
+    s = s.reshape(u.shape[0], grid_size, features)
+    return jnp.sum(wx[:, :, None] * s, axis=1)
+
+
+def grid_encode(table: jnp.ndarray, points: jnp.ndarray,
+                bound: float = 2.0,
+                precision=None,
+                chunk: Optional[int] = 8192) -> jnp.ndarray:
+    """Trilinear features from a dense [G, G, G, F] table (axis order y,z,x,f).
+
+    Args:
+        points: [N, >=3] query points; the first 3 columns (x, y, z) are used.
+        bound: half-extent of the grid in world units — the table spans
+            [-bound, bound]^3; coordinates outside clamp to the boundary value.
+        precision: matmul precision (None = fast bf16 MXU passes; tests use
+            HIGHEST).
+        chunk: point-chunk size for the lax.map sweep bounding the wyz
+            intermediate to [chunk, G^2] (a full-image render is millions of
+            points; unchunked wyz would be GBs). None or chunk >= N runs one
+            block.
+
+    Returns:
+        [N, F] features, differentiable in both table and points.
+    """
+    grid_size, features = table.shape[0], table.shape[-1]
+    table2d = table.reshape(grid_size * grid_size, grid_size * features)
+    n = points.shape[0]
+    # continuous cell coordinate per axis, clamped to the table extent
+    u = (points[:, :3] / bound + 1.0) * (0.5 * (grid_size - 1))
+    u = jnp.clip(u, 0.0, float(grid_size - 1))
+
+    if chunk is None or n <= chunk:
+        return _encode_block(table2d, u, grid_size, features, precision)
+
+    n_pad = (n + chunk - 1) // chunk * chunk
+    u = jnp.pad(u, ((0, n_pad - n), (0, 0)))
+    out = jax.lax.map(
+        lambda uc: _encode_block(table2d, uc, grid_size, features, precision),
+        u.reshape(-1, chunk, 3))
+    return out.reshape(n_pad, features)[:n]
+
+
+def grid_encode_ref(table: jnp.ndarray, points: jnp.ndarray,
+                    bound: float = 2.0) -> jnp.ndarray:
+    """Gather-based trilinear interpolation oracle (8 corner lookups per
+    point). Test/CPU only — take_along_axis gathers are catastrophic on TPU;
+    used to pin grid_encode's separable contraction to textbook trilinear."""
+    grid_size, features = table.shape[0], table.shape[-1]
+    u = (points[:, :3] / bound + 1.0) * (0.5 * (grid_size - 1))
+    u = jnp.clip(u, 0.0, float(grid_size - 1))
+    lo = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, grid_size - 2)
+    frac = u - lo
+    out = jnp.zeros((points.shape[0], features), table.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = ((frac[:, 0] if dx else 1 - frac[:, 0])
+                     * (frac[:, 1] if dy else 1 - frac[:, 1])
+                     * (frac[:, 2] if dz else 1 - frac[:, 2]))
+                # table axis order is (y, z, x, f)
+                corner = table[lo[:, 1] + dy, lo[:, 2] + dz, lo[:, 0] + dx]
+                out = out + w[:, None] * corner
+    return out

@@ -178,11 +178,21 @@ class _Dims(NamedTuple):
     n_freqs: int
     scale_factor: float
     n_freqs_time: int | None = None
+    # feature-grid encoding levels (ops/grid_encoding.py): dense [G,G,G,F]
+    # tables VMEM-resident across the grid, features appended after the
+    # sin/cos columns (matching the XLA path's concat order)
+    grid_sizes: tuple = ()
+    grid_features: int = 0
+    grid_bound: float = 2.0
+
+    @property
+    def d_grid(self) -> int:
+        return len(self.grid_sizes) * self.grid_features
 
     @property
     def n_cols(self) -> int:
         # sin/cos feature columns (time columns may be truncated)
-        return (self.d_enc - self.d_input) // 2
+        return (self.d_enc - self.d_input - self.d_grid) // 2
 
 
 def _dims_from_config(config) -> _Dims:
@@ -190,7 +200,10 @@ def _dims_from_config(config) -> _Dims:
                  d_filter=config.d_filter, d_output=config.d_output,
                  n_hidden=config.n_layers - 1, n_freqs=config.n_freqs,
                  scale_factor=config.scale_factor,
-                 n_freqs_time=getattr(config, 'n_freqs_time', None))
+                 n_freqs_time=getattr(config, 'n_freqs_time', None),
+                 grid_sizes=tuple(getattr(config, 'grid_sizes', ()) or ()),
+                 grid_features=getattr(config, 'grid_features', 0),
+                 grid_bound=getattr(config, 'grid_bound', 2.0))
 
 
 def _freq_matrix(dims: _Dims) -> np.ndarray:
@@ -218,6 +231,72 @@ def _encode(pts, k_ref):
     return jnp.concatenate([pts, fast_sin(u), fast_cos(u)], axis=-1)
 
 
+# ------------------------------------------------- feature-grid encoding
+#
+# In-kernel port of ops/grid_encoding.py's separable one-hot contraction —
+# no gathers, no minor-dim-F reshapes (Mosaic-hostile):
+#   wyz[t, y*G+z] built from a constant iota row (pure VPU hat functions),
+#   S = wyz @ table[(y z), (x f)] on the MXU (table VMEM-resident),
+#   the x-hat applied elementwise via col//F, then the f-column extracted
+#   with a constant 0/1 selection matmul M[(x f), f'] = (f == f').
+
+
+def _sel_matrix(grid_size: int, features: int) -> np.ndarray:
+    """[G*F, F] selector: M[x*F + f, f'] = (f == f')."""
+    m = np.zeros((grid_size * features, features), np.float32)
+    for x in range(grid_size):
+        for f in range(features):
+            m[x * features + f, f] = 1.0
+    return m
+
+
+def _hat(u_col, idx_row):
+    """[T, 1] coords x [1, K] cell centers -> [T, K] trilinear hats."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u_col - idx_row))
+
+
+def _grid_uvw(pts, dims: _Dims, grid_size: int):
+    """Clamped continuous cell coords, one [T, 1] column per spatial axis."""
+    scale = 0.5 * (grid_size - 1) / dims.grid_bound
+    u = jnp.clip((pts[:, :3] + dims.grid_bound) * scale,
+                 0.0, float(grid_size - 1))
+    return u[:, 0:1], u[:, 1:2], u[:, 2:3]
+
+
+def _grid_wyz(pts, dims: _Dims, grid_size: int):
+    """[T, G^2] (y,z)-pair hat weights (4 nonzeros per row), f32."""
+    _, uy, uz = _grid_uvw(pts, dims, grid_size)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, grid_size * grid_size), 1)
+    y_idx = (j // grid_size).astype(jnp.float32)
+    z_idx = (j % grid_size).astype(jnp.float32)
+    return _hat(uy, y_idx) * _hat(uz, z_idx)
+
+
+def _grid_wxe(pts, dims: _Dims, grid_size: int):
+    """[T, G*F] x-hat expanded over the table's (x, f) column order."""
+    ux, _, _ = _grid_uvw(pts, dims, grid_size)
+    f = dims.grid_features
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, grid_size * f), 1)
+    return _hat(ux, (col // f).astype(jnp.float32))
+
+
+def _grid_feats(pts, table_ref, m_ref, dims: _Dims, grid_size: int):
+    """[T, F] trilinear features from one VMEM-resident level."""
+    wyz = _grid_wyz(pts, dims, grid_size)
+    s = _mm(wyz, table_ref[:])                      # [T, G*F] f32
+    prod = _grid_wxe(pts, dims, grid_size) * s
+    return _mm(prod, m_ref[:])                      # [T, F]
+
+
+def _encode_grid(pts, k_ref, grid_refs, m_refs, dims: _Dims):
+    """enc = [x, sin, cos, level-0 feats, level-1 feats, ...] — the same
+    column order as the XLA path (fields.py nerf_apply concat)."""
+    parts = [_encode(pts, k_ref)]
+    for g, t_ref, m_ref in zip(dims.grid_sizes, grid_refs, m_refs):
+        parts.append(_grid_feats(pts, t_ref, m_ref, dims, g))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _mm(a, b):
     return jnp.dot(a.astype(jnp.bfloat16), b, preferred_element_type=jnp.float32)
 
@@ -231,9 +310,12 @@ def _mm_t(a, b, contract_a: int, contract_b: int):
 
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref,
-                w_out_ref, b_out_ref, out_ref, *, dims: _Dims):
-    enc = _encode(pts_ref[:], k_ref)
+def _fwd_kernel(pts_ref, k_ref, *refs, dims: _Dims):
+    ng = len(dims.grid_sizes)
+    grid_refs, m_refs = refs[:ng], refs[ng:2 * ng]
+    (w_in_ref, b_in_ref, w_h_ref, b_h_ref, w_out_ref, b_out_ref,
+     out_ref) = refs[2 * ng:]
+    enc = _encode_grid(pts_ref[:], k_ref, grid_refs, m_refs, dims)
     h = fast_sin(_mm(enc, w_in_ref[:]) + b_in_ref[:])
     for i in range(dims.n_hidden):
         h = fast_sin(_mm(h, w_h_ref[i]) + b_h_ref[i])
@@ -248,6 +330,27 @@ def _prep(params, dims):
             params['b_h'],
             params['w_out'].astype(jnp.bfloat16),
             params['b_out'].reshape(1, -1))
+
+
+def _prep_grid(params, dims: _Dims):
+    """Per-level (table [(y z), (x f)] bf16, selector [G*F, F] bf16) operand
+    lists for the kernel (both feed MXU matmuls)."""
+    f = dims.grid_features
+    tables = [params[f'grid_{i}'].reshape(g * g, g * f).astype(jnp.bfloat16)
+              for i, g in enumerate(dims.grid_sizes)]
+    ms = [jnp.asarray(_sel_matrix(g, f), jnp.bfloat16)
+          for g in dims.grid_sizes]
+    return tables, ms
+
+
+def _grid_specs(dims: _Dims):
+    """const-indexed VMEM BlockSpecs matching _prep_grid's operand order."""
+    const = lambda *_: (0, 0)
+    f = dims.grid_features
+    return ([pl.BlockSpec((g * g, g * f), const, memory_space=pltpu.VMEM)
+             for g in dims.grid_sizes]
+            + [pl.BlockSpec((g * f, f), const, memory_space=pltpu.VMEM)
+               for g in dims.grid_sizes])
 
 
 def _pad_rows(x, n_padded):
@@ -267,10 +370,13 @@ def _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points):
     n_pad = _round_up(max(n, tile), tile)
     pts = _pad_rows(points, n_pad)
     k_mat, w_in, b_in, w_h, b_h, w_out, b_out = _prep(params, dims)
+    tables, ms = _prep_grid(params, dims)
     d_freq = dims.n_cols
 
     const = lambda *_: (0, 0)
     const3 = lambda *_: (0, 0, 0)
+    grid_flops = sum(2 * n_pad * g * g * (g * dims.grid_features)
+                     for g in dims.grid_sizes)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, dims=dims),
         grid=(n_pad // tile,),
@@ -278,6 +384,7 @@ def _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points):
             pl.BlockSpec((tile, dims.d_input), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dims.d_input, d_freq), const, memory_space=pltpu.VMEM),
+            *_grid_specs(dims),
             pl.BlockSpec((dims.d_enc, dims.d_filter), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dims.d_filter), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((dims.n_hidden, dims.d_filter, dims.d_filter), const3,
@@ -292,11 +399,12 @@ def _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points):
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * dims.d_filter * (dims.d_enc + dims.d_filter
-                                               * dims.n_hidden + dims.d_output),
+                                               * dims.n_hidden + dims.d_output)
+            + grid_flops,
             bytes_accessed=n_pad * (dims.d_input + dims.d_output) * 4,
             transcendentals=n_pad * dims.d_filter * (dims.n_hidden + 1),
         ),
-    )(pts, k_mat, w_in, b_in, w_h, b_h, w_out, b_out)
+    )(pts, k_mat, *tables, *ms, w_in, b_in, w_h, b_h, w_out, b_out)
     return out[:n], (params, points)
 
 
@@ -312,16 +420,18 @@ def _fused_mlp_fwd(dims, tile, bwd_tile, interpret, params, points):
 # with the sin stash alone); int8 halves that stream. Used for training on
 # TPU; the recompute variant remains for memory-constrained cases.
 
-def _fwd_stash_kernel(pts_ref, k_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref,
-                      w_out_ref, b_out_ref, out_ref, hs_ref, cs_ref,
-                      *, dims: _Dims):
+def _fwd_stash_kernel(pts_ref, k_ref, *refs, dims: _Dims):
+    ng = len(dims.grid_sizes)
+    grid_refs, m_refs = refs[:ng], refs[ng:2 * ng]
+    (w_in_ref, b_in_ref, w_h_ref, b_h_ref, w_out_ref, b_out_ref,
+     out_ref, hs_ref, cs_ref) = refs[2 * ng:]
     # stash layout: [tile, L1*H] — one CONTIGUOUS HBM block per tile per
     # output, so the pipelined stash DMA is a single transfer (the previous
     # [L1, tile, H] layout wrote 8 strided chunks per tile, which kept the
     # stash writes from hiding behind the matmuls: measured 11.05 ms vs
     # 6.42 ms plain forward at 262k points)
     H = dims.d_filter
-    enc = _encode(pts_ref[:], k_ref)
+    enc = _encode_grid(pts_ref[:], k_ref, grid_refs, m_refs, dims)
     z = _mm(enc, w_in_ref[:]) + b_in_ref[:]
     # one bf16 cast per activation, shared by the stash store and the next
     # matmul (which runs in bf16 anyway)
@@ -395,11 +505,18 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, *refs,
     if fmt == 'int8':
         cs_ref, *refs = refs
     k_ref, w_in_ref, w_h_ref, w_out_ref, *refs = refs
+    ng = len(dims.grid_sizes)
+    grid_refs, m_refs = refs[:ng], refs[ng:2 * ng]
+    refs = refs[2 * ng:]
     if compute_dpts:
         dpts_ref, *refs = refs
     (dw_in_hbm, db_in_hbm, dw_h_hbm, db_h_hbm, dw_out_hbm, db_out_hbm,
-     dw_in_acc, db_in_acc, dw_h_acc, db_h_acc, dw_out_acc, db_out_acc,
-     copy_sems) = refs
+     *refs) = refs
+    dt_hbm = refs[:ng]
+    (dw_in_acc, db_in_acc, dw_h_acc, db_h_acc, dw_out_acc, db_out_acc,
+     *refs) = refs[ng:]
+    dt_acc = refs[:ng]
+    copy_sems = refs[ng]
     first = pl.program_id(0) == 0
     last = pl.program_id(0) == pl.num_programs(0) - 1
 
@@ -411,11 +528,22 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, *refs,
         db_h_acc[:] = jnp.zeros_like(db_h_acc)
         dw_out_acc[:] = jnp.zeros_like(dw_out_acc)
         db_out_acc[:] = jnp.zeros_like(db_out_acc)
+        for acc in dt_acc:
+            acc[:] = jnp.zeros_like(acc)
 
     pts = pts_ref[:]
     u = jnp.dot(pts, k_ref[:], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-    enc = jnp.concatenate([pts, fast_sin(u), fast_cos(u)], axis=-1)
+    # grid hat weights are recomputed (cheap VPU) and reused for d_table
+    parts = [pts, fast_sin(u), fast_cos(u)]
+    wyzs, wxes = [], []
+    for g, t_ref, m_ref in zip(dims.grid_sizes, grid_refs, m_refs):
+        wyz = _grid_wyz(pts, dims, g)
+        wxe = _grid_wxe(pts, dims, g)
+        parts.append(_mm(wxe * _mm(wyz, t_ref[:]), m_ref[:]))
+        wyzs.append(wyz)
+        wxes.append(wxe)
+    enc = jnp.concatenate(parts, axis=-1)
 
     H = dims.d_filter
 
@@ -473,12 +601,25 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, *refs,
     dw_in_acc[:] += _mm_t(enc, dz, 0, 0)
     db_in_acc[:] += jnp.sum(dz, axis=0, keepdims=True, dtype=jnp.float32)
 
-    if compute_dpts:
+    if ng or compute_dpts:
         denc = _mm_t(dz, w_in_ref[:], 1, 1)
+
+    # d_table[i]: dS[t, (x f)] = wxe * (dgf broadcast over x), then one
+    # points-contracted MXU matmul per level — same pattern as the dW accs
+    F = dims.grid_features
+    off = dims.d_input + 2 * dims.n_cols
+    for i in range(ng):
+        dgf = denc[:, off + i * F:off + (i + 1) * F]
+        ds = wxes[i] * _mm_t(dgf, m_refs[i][:], 1, 1)
+        dt_acc[i][:] += _mm_t(wyzs[i], ds, 0, 0)
+
+    if compute_dpts:
+        # NOTE: grid configs reject compute_dpts upstream (fused_nerf_raw) —
+        # the hat-derivative point term is not implemented here
         D = dims.d_input
         d_freq = dims.n_cols
         du = (fast_cos(u) * denc[:, D:D + d_freq]
-              - fast_sin(u) * denc[:, D + d_freq:])
+              - fast_sin(u) * denc[:, D + d_freq:D + 2 * d_freq])
         dpts_ref[:] = denc[:, :D] + jnp.dot(
             du, k_ref[:].T, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
@@ -488,7 +629,8 @@ def _bwd_stash_kernel(pts_ref, dy_ref, hs_ref, *refs,
         for idx, (acc, hbm) in enumerate((
                 (dw_in_acc, dw_in_hbm), (db_in_acc, db_in_hbm),
                 (dw_h_acc, dw_h_hbm), (db_h_acc, db_h_hbm),
-                (dw_out_acc, dw_out_hbm), (db_out_acc, db_out_hbm))):
+                (dw_out_acc, dw_out_hbm), (db_out_acc, db_out_hbm),
+                *zip(dt_acc, dt_hbm))):
             copy = pltpu.make_async_copy(acc, hbm, copy_sems.at[idx])
             copy.start()
             copy.wait()
@@ -519,6 +661,7 @@ def _fused_mlp_stash_fwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
     n_pad = _round_up(max(n, both), both)
     pts = _pad_rows(points, n_pad)
     k_mat, w_in, b_in, w_h, b_h, w_out, b_out = _prep(params, dims)
+    tables, ms = _prep_grid(params, dims)
     d_freq = dims.n_cols
     L1, H = dims.n_hidden + 1, dims.d_filter
 
@@ -546,6 +689,7 @@ def _fused_mlp_stash_fwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
             pl.BlockSpec((tile, dims.d_input), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dims.d_input, d_freq), const, memory_space=pltpu.VMEM),
+            *_grid_specs(dims),
             pl.BlockSpec((dims.d_enc, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((dims.n_hidden, H, H), const3, memory_space=pltpu.VMEM),
@@ -558,7 +702,7 @@ def _fused_mlp_stash_fwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(pts, k_mat, w_in, b_in, w_h, b_h, w_out, b_out)
+    )(pts, k_mat, *tables, *ms, w_in, b_in, w_h, b_h, w_out, b_out)
     if single:
         out, hs = outs
         cs = None
@@ -569,12 +713,19 @@ def _fused_mlp_stash_fwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
 
 def _fused_mlp_stash_bwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
                          residuals, g):
+    if dims.grid_sizes and compute_dpts:
+        raise NotImplementedError(
+            'grid-encoding configs skip point cotangents (the renderer '
+            'detaches sample points); pass compute_dpts=False or use '
+            'nerf_apply')
     params, points, hs, cs = residuals
     n = points.shape[0]
     n_pad = hs.shape[0]
     pts = _pad_rows(points, n_pad)
     gy = _pad_rows(g, n_pad)
     k_mat, w_in, _b_in, w_h, _b_h, w_out, _b_out = _prep(params, dims)
+    tables, ms = _prep_grid(params, dims)
+    ng = len(dims.grid_sizes)
     d_freq = dims.n_cols
     L1, H = dims.n_hidden + 1, dims.d_filter
 
@@ -582,12 +733,14 @@ def _fused_mlp_stash_bwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
     const3 = lambda *_: (0, 0, 0)
     f = jnp.float32
     D, E, O, L = dims.d_input, dims.d_enc, dims.d_output, dims.n_hidden
-    grad_shapes = ((E, H), (1, H), (L, H, H), (L, H), (H, O), (1, O))
+    gf = dims.grid_features
+    grad_shapes = ((E, H), (1, H), (L, H, H), (L, H), (H, O), (1, O)) \
+        + tuple((gs * gs, gs * gf) for gs in dims.grid_sizes)
     dpts_shapes = [jax.ShapeDtypeStruct((n_pad, D), f)] if compute_dpts else []
     dpts_specs = [pl.BlockSpec((bwd_tile, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] if compute_dpts else []
     out_shapes = dpts_shapes + [jax.ShapeDtypeStruct(s, f) for s in grad_shapes]
-    out_specs = dpts_specs + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6
+    out_specs = dpts_specs + [pl.BlockSpec(memory_space=pltpu.ANY)] * (6 + ng)
     single = fmt in ('lsb', 'i8pair')
     hs_cols = 2 * L1 * H if fmt == 'i8pair' else L1 * H
     act_spec = pl.BlockSpec((bwd_tile, hs_cols), lambda i: (i, 0),
@@ -609,31 +762,34 @@ def _fused_mlp_stash_bwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
             pl.BlockSpec((E, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, H, H), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, O), const, memory_space=pltpu.VMEM),
+            *_grid_specs(dims),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM(s, f) for s in grad_shapes]
-        + [pltpu.SemaphoreType.DMA((6,))],
+        + [pltpu.SemaphoreType.DMA((6 + ng,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(pts, gy, hs, *cs_args, k_mat, w_in, w_h, w_out)
+    )(pts, gy, hs, *cs_args, k_mat, w_in, w_h, w_out, *tables, *ms)
 
     if compute_dpts:
-        dpts, dw_in, db_in, dw_h, db_h, dw_out, db_out = outs
+        dpts, *outs = outs
         dpts = dpts[:n]
     else:
         # callers that disable dpts stop_gradient the points upstream (the
         # renderer does: ray samples are data / detached), so the zero
         # cotangent is exact — and the kernel skips ~0.7 ms of dead compute
-        dw_in, db_in, dw_h, db_h, dw_out, db_out = outs
         dpts = jnp.zeros_like(points)
+    dw_in, db_in, dw_h, db_h, dw_out, db_out, *dtables = outs
     dparams = {
         'w_in': dw_in, 'b_in': db_in.reshape(-1),
         'w_h': dw_h, 'b_h': db_h,
         'w_out': dw_out, 'b_out': db_out.reshape(-1),
     }
+    for i, gs in enumerate(dims.grid_sizes):
+        dparams[f'grid_{i}'] = dtables[i].reshape(gs, gs, gs, gf)
     for k, v in params.items():
         if k not in dparams:
             dparams[k] = jnp.zeros_like(v)
@@ -722,6 +878,11 @@ def _bwd_kernel(pts_ref, dy_ref, k_ref, w_in_ref, w_h_ref, w_out_ref,
 
 
 def _fused_mlp_bwd(dims, tile, bwd_tile, interpret, residuals, g):
+    if dims.grid_sizes:
+        raise NotImplementedError(
+            'grid-encoding configs differentiate through the stashing '
+            'backward only (stash=True); the recompute backward has no '
+            'd_table path')
     params, points = residuals
     n = points.shape[0]
     n_pad = _round_up(max(n, bwd_tile), bwd_tile)
@@ -813,8 +974,14 @@ def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
     if stash is None:
         stash = not interpret  # interpreter runs the cheaper recompute path
     dims = _dims_from_config(config)
-    mlp_params = {k: params[k] for k in
-                  ('w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out')}
+    if dims.grid_sizes:
+        if stash_format != 'int8':
+            raise NotImplementedError(
+                f'grid-encoding configs support the int8 stash only, got '
+                f'{stash_format!r}')
+    keys = ['w_in', 'b_in', 'w_h', 'b_h', 'w_out', 'b_out'] \
+        + [f'grid_{i}' for i in range(len(dims.grid_sizes))]
+    mlp_params = {k: params[k] for k in keys}
     if stash:
         return _fused_mlp_stash(dims, stash_tile, stash_bwd_tile, interpret,
                                 compute_dpts, stash_format, mlp_params, points)

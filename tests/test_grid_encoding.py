@@ -1,0 +1,139 @@
+"""Feature-grid encoding: the separable one-hot contraction
+(ops/grid_encoding.py) pinned against a gather-based trilinear oracle, its
+gradients, and the grid-config field integration."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sunerf_tpu.models.fields import NeRFConfig, emission_config, init_nerf, \
+    nerf_apply
+from sunerf_tpu.ops.grid_encoding import grid_encode, grid_encode_ref, \
+    grid_table_init
+
+HI = jax.lax.Precision.HIGHEST
+
+
+@pytest.mark.parametrize('grid_size,features', [(8, 4), (16, 8), (5, 2)])
+def test_matches_trilinear_oracle(grid_size, features):
+    key = jax.random.key(0)
+    table = jax.random.normal(key, (grid_size, grid_size, grid_size, features))
+    pts = jax.random.uniform(jax.random.key(1), (257, 3),
+                             minval=-2.0, maxval=2.0)
+    got = grid_encode(table, pts, bound=2.0, precision=HI)
+    want = grid_encode_ref(table, pts, bound=2.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cell_centers_return_table_values():
+    g, f = 6, 3
+    table = jax.random.normal(jax.random.key(2), (g, g, g, f))
+    # world coords of cell (ix, iy, iz): u = i  ->  p = (2*i/(g-1) - 1)*bound
+    idx = jnp.array([[0, 0, 0], [2, 3, 1], [5, 5, 5]])
+    pts = (idx / (g - 1) * 2.0 - 1.0) * 1.5
+    got = grid_encode(table, pts, bound=1.5, precision=HI)
+    want = table[idx[:, 1], idx[:, 2], idx[:, 0]]  # table order (y, z, x, f)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_out_of_bounds_clamps_to_boundary():
+    g, f = 8, 4
+    table = jax.random.normal(jax.random.key(3), (g, g, g, f))
+    inside = jnp.array([[1.0, -1.0, 1.0]]) * 2.0       # exactly the corner
+    outside = jnp.array([[7.0, -9.0, 3.0]])            # far past it
+    a = grid_encode(table, inside, bound=2.0, precision=HI)
+    b = grid_encode(table, outside, bound=2.0, precision=HI)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_chunked_sweep_matches_single_block():
+    table = grid_table_init(jax.random.key(4), 12, 4, scale=1.0)
+    pts = jax.random.uniform(jax.random.key(5), (1000, 3),
+                             minval=-2.0, maxval=2.0)
+    full = grid_encode(table, pts, precision=HI, chunk=None)
+    chunked = grid_encode(table, pts, precision=HI, chunk=256)
+    np.testing.assert_allclose(full, chunked, rtol=1e-6, atol=1e-7)
+
+
+def test_extra_input_columns_ignored():
+    """4-D (x,y,z,t) points: the grid uses the spatial columns only."""
+    table = grid_table_init(jax.random.key(6), 8, 4, scale=1.0)
+    pts3 = jax.random.uniform(jax.random.key(7), (64, 3), minval=-1, maxval=1)
+    pts4 = jnp.concatenate([pts3, jnp.ones((64, 1))], axis=-1)
+    np.testing.assert_allclose(grid_encode(table, pts3, precision=HI),
+                               grid_encode(table, pts4, precision=HI))
+
+
+def test_table_gradient_matches_oracle():
+    g, f = 6, 3
+    table = jax.random.normal(jax.random.key(8), (g, g, g, f))
+    pts = jax.random.uniform(jax.random.key(9), (97, 3), minval=-2, maxval=2)
+    cot = jax.random.normal(jax.random.key(10), (97, f))
+
+    def loss(fn, t):
+        return jnp.sum(fn(t, pts, 2.0) * cot)
+
+    got = jax.grad(lambda t: loss(
+        lambda t_, p, b: grid_encode(t_, p, bound=b, precision=HI), table))(table)
+    want = jax.grad(lambda t: loss(grid_encode_ref, table))(table)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_point_gradient_finite_difference():
+    table = jax.random.normal(jax.random.key(11), (8, 8, 8, 2))
+    p0 = jnp.array([[0.31, -0.42, 0.77]])
+
+    def f(p):
+        return jnp.sum(grid_encode(table, p, bound=2.0, precision=HI))
+
+    g_auto = jax.grad(f)(p0)
+    eps = 1e-3
+    for d in range(3):
+        dp = jnp.zeros_like(p0).at[0, d].set(eps)
+        g_fd = (f(p0 + dp) - f(p0 - dp)) / (2 * eps)
+        np.testing.assert_allclose(g_auto[0, d], g_fd, rtol=1e-3, atol=1e-4)
+
+
+# ------------------------------------------------------- field integration
+
+def test_grid_config_encoded_dim_and_init():
+    config = emission_config(n_layers=3, d_filter=64, grid_sizes=(8, 16),
+                             grid_features=4)
+    base = emission_config(n_layers=3, d_filter=64)
+    assert config.d_encoded == base.d_encoded + 8
+    params = init_nerf(jax.random.key(0), config)
+    assert params['grid_0'].shape == (8, 8, 8, 4)
+    assert params['grid_1'].shape == (16, 16, 16, 4)
+    assert params['w_in'].shape == (config.d_encoded, 64)
+    # NGP-style tiny init
+    assert float(jnp.max(jnp.abs(params['grid_0']))) <= 1e-4
+
+
+def test_grid_field_apply_and_gradients_flow():
+    config = emission_config(n_layers=3, d_filter=64, grid_sizes=(8,),
+                             grid_features=4, precision='highest')
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.uniform(jax.random.key(1), (32, 4), minval=-1, maxval=1)
+    out = nerf_apply(config, params, pts)
+    assert out.raw.shape == (32, 2)
+
+    g = jax.grad(lambda p: jnp.sum(nerf_apply(config, p, pts).raw ** 2))(params)
+    assert float(jnp.max(jnp.abs(g['grid_0']))) > 0.0
+
+
+def test_grid_sizes_list_coerced_for_spec_roundtrip():
+    import dataclasses
+    config = emission_config(grid_sizes=[8, 16])
+    assert config.grid_sizes == (8, 16)
+    hash(config)  # must stay hashable (closed over jit)
+    rt = NeRFConfig(**dataclasses.asdict(config))
+    assert rt == config
+
+
+def test_grid_config_routes_to_xla_path():
+    from sunerf_tpu.systems import _select_apply
+    config = emission_config(n_layers=2, d_filter=32, grid_sizes=(8,))
+    apply_fn = _select_apply(config, use_fused=True)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jnp.zeros((4, 4))
+    assert apply_fn(params, pts).raw.shape == (4, 2)  # must not raise
