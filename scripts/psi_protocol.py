@@ -87,6 +87,15 @@ def main():
     parser.add_argument('--model-filter', type=int, default=512,
                         help='FINE field width (multiples of 128 keep the '
                              'fused kernel lane-aligned)')
+    parser.add_argument('--grid-sizes', type=int, nargs='+', default=[],
+                        help='FINE-field feature-grid levels (e.g. 16 32): '
+                             'learned dense tables whose trilinear features '
+                             'subsidize a much smaller MLP '
+                             '(ops/grid_encoding.py); empty = off')
+    parser.add_argument('--grid-features', type=int, default=8)
+    parser.add_argument('--grid-bound', type=float, default=1.3,
+                        help='grid half-extent in ds units (the psi scene '
+                             'samples within 1.3 Rsun of Sun center)')
     parser.add_argument('--seed', type=int, default=7)
     parser.add_argument('--workdir', default=None)
     parser.add_argument('--out', default=None,
@@ -183,10 +192,16 @@ def main():
     optim_config = OptimConfig(lr_start=1e-3, lr_end=1e-4,
                                lr_iterations=args.steps, lr_floor=1e-4)
 
+    grid_kwargs = (dict(grid_sizes=tuple(args.grid_sizes),
+                        grid_features=args.grid_features,
+                        grid_bound=args.grid_bound)
+                   if args.grid_sizes else {})
+
     def make_trainer(n_strat, n_hier, total_steps, phase_start=0):
         renderer, init = make_emission_system(
             model_config=emission_config(n_layers=args.model_layers,
-                                         d_filter=args.model_filter),
+                                         d_filter=args.model_filter,
+                                         **grid_kwargs),
             n_stratified=n_strat, n_hierarchical=n_hier,
             coarse_config=coarse, tier_fraction=args.tier_fraction,
             tier_samples=args.tier_samples, occupancy=occ)
@@ -256,6 +271,12 @@ def main():
         # key absent at reference parity: keeps earlier rows' signatures
         # (and so psi_matrix.py idempotency) unchanged
         out['config']['model_shape'] = [args.model_layers, args.model_filter]
+    if args.grid_sizes:
+        # key absent when off: keeps pre-grid matrix rows' signatures
+        # (and so psi_matrix.py idempotency) unchanged
+        out['config']['grid'] = {'sizes': list(args.grid_sizes),
+                                 'features': args.grid_features,
+                                 'bound': args.grid_bound}
     if phase1_steps:
         # key absent when off: keeps pre-anneal matrix rows' signatures
         # (and so psi_matrix.py idempotency) unchanged

@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-3 TPU queue, part 7: feature-grid encoding on the real chip.
+# Run AFTER queue6 (single-tenant TPU — never overlap TPU processes).
+#   1. kernel-level timing for grid-encoded fields (PROBE_GRID_r3.json)
+#   2. single-seed psi_193 rows: grid-encoded small fine MLPs at the
+#      prop_24_48 budget family (quality sanity before 3-seed rows)
+set -u
+cd /root/repo
+echo "=== queue7 start $(date) ==="
+
+for i in $(seq 1 200); do
+    if timeout 90 python -c \
+        "import jax, jax.numpy as jnp; float(jnp.ones((8,8)).sum())" \
+        >/dev/null 2>&1; then
+        echo "--- tunnel up $(date) ---"; break
+    fi
+    echo "probe $i failed $(date)"; sleep 180
+done
+
+timeout 3600 python scripts/probe_grid_kernel.py --out PROBE_GRID_r3.json \
+    2>&1 | tail -10
+echo "--- grid kernel probe done $(date) ---"
+
+for arch in "4 128" "2 128"; do
+    set -- $arch
+    timeout 5400 python scripts/psi_protocol.py \
+        --proposal-coarse --n-stratified 24 --n-hierarchical 48 \
+        --model-layers "$1" --model-filter "$2" \
+        --grid-sizes 16 32 --steps 12500 --seed 7 \
+        --out PSI_GRID_r3.jsonl --data-cache /tmp/psi_scene_cache \
+        2>&1 | tail -4
+    echo "--- grid ${1}x${2} row done $(date) ---"
+done
+
+echo "=== queue7 done $(date) ==="
