@@ -55,6 +55,15 @@ def main():
     parser.add_argument('--steps', type=int, default=1500)
     parser.add_argument('--batch', type=int, default=2048)
     parser.add_argument('--lr', type=float, default=1e-3)
+    parser.add_argument('--table-lr-mult', type=float, default=1.0,
+                        help='lr multiplier for grid tables (instant-NGP '
+                             'trains tables at ~10x the MLP lr)')
+    parser.add_argument('--adam-eps', type=float, default=1e-8,
+                        help='Adam eps (NGP uses 1e-15: table cells see '
+                             'sparse tiny gradients that default eps '
+                             'strangles)')
+    parser.add_argument('--only', nargs='+', default=None,
+                        help='subset of config labels to run')
     parser.add_argument('--cpu', action='store_true', default=None)
     parser.add_argument('--out', default=None)
     args = parser.parse_args()
@@ -83,11 +92,22 @@ def main():
     val_pts = sample_points(jax.random.key(999), 16384)
     val_y = target_field(val_pts)
 
-    out = {'steps': args.steps, 'batch': args.batch}
+    out = {'steps': args.steps, 'batch': args.batch, 'lr': args.lr,
+           'table_lr_mult': args.table_lr_mult, 'adam_eps': args.adam_eps}
     for label, kw in CONFIGS:
+        if args.only and label not in args.only:
+            continue
         config = emission_config(**kw)
         params = init_nerf(jax.random.key(0), config)
-        opt = optax.adam(args.lr)
+        if args.table_lr_mult != 1.0 and config.grid_sizes:
+            opt = optax.multi_transform(
+                {'table': optax.adam(args.lr * args.table_lr_mult,
+                                     eps=args.adam_eps),
+                 'mlp': optax.adam(args.lr, eps=args.adam_eps)},
+                {k: ('table' if k.startswith('grid_') else 'mlp')
+                 for k in params})
+        else:
+            opt = optax.adam(args.lr, eps=args.adam_eps)
         opt_state = opt.init(params)
 
         def loss_fn(p, pts, y):

@@ -96,6 +96,10 @@ def main():
     parser.add_argument('--grid-bound', type=float, default=1.3,
                         help='grid half-extent in ds units (the psi scene '
                              'samples within 1.3 Rsun of Sun center)')
+    parser.add_argument('--table-lr-mult', type=float, default=1.0,
+                        help='feature-grid table lr multiplier '
+                             '(instant-NGP recipe: ~10x the MLP lr)')
+    parser.add_argument('--adam-eps', type=float, default=1e-8)
     parser.add_argument('--seed', type=int, default=7)
     parser.add_argument('--workdir', default=None)
     parser.add_argument('--out', default=None,
@@ -190,7 +194,9 @@ def main():
     run_dir = os.path.join(workdir, 'run')
     loss_config = LossConfig(lambda_regularization=0.1, scaling_vmax=10.0)
     optim_config = OptimConfig(lr_start=1e-3, lr_end=1e-4,
-                               lr_iterations=args.steps, lr_floor=1e-4)
+                               lr_iterations=args.steps, lr_floor=1e-4,
+                               table_lr_mult=args.table_lr_mult,
+                               adam_eps=args.adam_eps)
 
     grid_kwargs = (dict(grid_sizes=tuple(args.grid_sizes),
                         grid_features=args.grid_features,
@@ -276,7 +282,9 @@ def main():
         # (and so psi_matrix.py idempotency) unchanged
         out['config']['grid'] = {'sizes': list(args.grid_sizes),
                                  'features': args.grid_features,
-                                 'bound': args.grid_bound}
+                                 'bound': args.grid_bound,
+                                 'table_lr_mult': args.table_lr_mult,
+                                 'adam_eps': args.adam_eps}
     if phase1_steps:
         # key absent when off: keeps pre-anneal matrix rows' signatures
         # (and so psi_matrix.py idempotency) unchanged

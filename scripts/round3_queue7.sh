@@ -26,7 +26,8 @@ for arch in "4 128" "2 128"; do
     timeout 5400 python scripts/psi_protocol.py \
         --proposal-coarse --n-stratified 24 --n-hierarchical 48 \
         --model-layers "$1" --model-filter "$2" \
-        --grid-sizes 16 32 --steps 12500 --seed 7 \
+        --grid-sizes 16 32 --table-lr-mult 10 --adam-eps 1e-15 \
+        --steps 12500 --seed 7 \
         --out PSI_GRID_r3.jsonl --data-cache /tmp/psi_scene_cache \
         2>&1 | tail -4
     echo "--- grid ${1}x${2} row done $(date) ---"

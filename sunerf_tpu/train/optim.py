@@ -20,6 +20,11 @@ class OptimConfig:
     lr_iterations: float = 1e6
     lr_floor: float = 5e-5
     grad_clip: float = 0.5
+    # feature-grid table recipe (instant-NGP trains tables at ~10x the MLP
+    # lr with a tiny Adam eps — sparse per-cell gradients are strangled by
+    # the default eps). Applies to params named grid_* only; 1.0 = off.
+    table_lr_mult: float = 1.0
+    adam_eps: float = 1e-8
 
 
 def lr_schedule(config: OptimConfig = OptimConfig()):
@@ -31,8 +36,32 @@ def lr_schedule(config: OptimConfig = OptimConfig()):
     return schedule
 
 
+def _scale_table_updates(mult: float) -> optax.GradientTransformation:
+    """Multiply the post-Adam updates of feature-grid tables (param keys
+    starting with 'grid_', models/fields.py) by mult — equivalent to a
+    higher table learning rate, without splitting the optimizer state."""
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        from jax.tree_util import DictKey, tree_map_with_path
+
+        def scale(path, u):
+            is_table = any(isinstance(k, DictKey)
+                           and str(k.key).startswith('grid_') for k in path)
+            return u * mult if is_table else u
+        return tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(config: OptimConfig = OptimConfig()) -> optax.GradientTransformation:
-    return optax.chain(
+    steps = [
         optax.clip_by_global_norm(config.grad_clip),
-        optax.adam(learning_rate=lr_schedule(config)),
-    )
+        optax.adam(learning_rate=lr_schedule(config), eps=config.adam_eps),
+    ]
+    if config.table_lr_mult != 1.0:
+        steps.append(_scale_table_updates(config.table_lr_mult))
+    return optax.chain(*steps)

@@ -137,3 +137,28 @@ def test_grid_config_routes_to_xla_path():
     params = init_nerf(jax.random.key(0), config)
     pts = jnp.zeros((4, 4))
     assert apply_fn(params, pts).raw.shape == (4, 2)  # must not raise
+
+
+def test_grid_config_deployment_roundtrip(tmp_path):
+    """Grid params + spec survive save_state -> SuNeRFLoader (the queue-7
+    TPU protocol evaluates grid checkpoints through this exact path)."""
+    from sunerf_tpu.evaluation.loader import SuNeRFLoader
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.utils.checkpoint import save_state
+
+    config = emission_config(n_layers=2, d_filter=32, n_freqs=4,
+                             grid_sizes=(8,), grid_features=4,
+                             grid_bound=1.3)
+    renderer, init = make_emission_system(model_config=config,
+                                          n_stratified=8, n_hierarchical=8)
+    params = init(jax.random.key(0))
+    path = str(tmp_path / 'save_state')
+    save_state(path, params, {'renderer_spec': renderer.spec,
+                              'type': 'emission'})
+
+    loader = SuNeRFLoader(path, batch_size=256)
+    assert tuple(loader.renderer.spec['model_config']['grid_sizes']) == (8,)
+    view = loader.render_observer_image(lat=0.3, lon=1.0, time=0.0,
+                                        distance=215.0, resolution=8)
+    assert view.image.shape == (8, 8, 1)
+    assert bool(np.all(np.isfinite(view.image)))

@@ -263,3 +263,27 @@ def test_checkpoint_restores_across_guard_settings(tmp_path):
     assert restored.snapshot is None
     np.testing.assert_array_equal(np.asarray(restored.params['fine']['w_in']),
                                   np.asarray(on.params['fine']['w_in']))
+
+
+def test_table_lr_mult_scales_only_grid_updates():
+    """OptimConfig.table_lr_mult applies the NGP table-lr recipe to grid_*
+    leaves only (train/optim.py _scale_table_updates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sunerf_tpu.train.optim import OptimConfig, make_optimizer
+
+    params = {'fine': {'w_in': jnp.ones((4, 4)), 'grid_0': jnp.ones((2, 2))}}
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    base = make_optimizer(OptimConfig(adam_eps=1e-15))
+    up_base, _ = base.update(grads, base.init(params), params)
+    mult = make_optimizer(OptimConfig(table_lr_mult=10.0, adam_eps=1e-15))
+    up_mult, _ = mult.update(grads, mult.init(params), params)
+
+    import numpy as np
+    np.testing.assert_allclose(up_mult['fine']['w_in'],
+                               up_base['fine']['w_in'])
+    np.testing.assert_allclose(up_mult['fine']['grid_0'],
+                               10.0 * np.asarray(up_base['fine']['grid_0']),
+                               rtol=1e-6)
