@@ -971,9 +971,11 @@ def fused_nerf_raw(config, params: dict, points: jnp.ndarray,
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    if stash is None:
-        stash = not interpret  # interpreter runs the cheaper recompute path
     dims = _dims_from_config(config)
+    if stash is None:
+        # interpreter default: the cheaper recompute path — EXCEPT for grid
+        # configs, whose backward exists only in the stashing kernel
+        stash = (not interpret) or bool(dims.grid_sizes)
     if dims.grid_sizes:
         if stash_format != 'int8':
             raise NotImplementedError(
