@@ -100,6 +100,10 @@ def main():
                         help='feature-grid table lr multiplier '
                              '(instant-NGP recipe: ~10x the MLP lr)')
     parser.add_argument('--adam-eps', type=float, default=1e-8)
+    parser.add_argument('--platform', default=None,
+                        help="force a jax platform (e.g. 'cpu' for offline "
+                             "smoke runs; env vars are too late — the "
+                             "sitecustomize preloads the axon TPU backend)")
     parser.add_argument('--seed', type=int, default=7)
     parser.add_argument('--workdir', default=None)
     parser.add_argument('--out', default=None,
@@ -112,6 +116,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 

@@ -162,3 +162,38 @@ def test_grid_config_deployment_roundtrip(tmp_path):
                                         distance=215.0, resolution=8)
     assert view.image.shape == (8, 8, 1)
     assert bool(np.all(np.isfinite(view.image)))
+
+
+def test_grid_composes_with_tiers_and_proposal():
+    """Grid fine field + proposal coarse + tiered fine pass — the matrix-row
+    combination queue 7 will train."""
+    from sunerf_tpu.systems import make_emission_system
+    config = emission_config(n_layers=2, d_filter=32, n_freqs=4,
+                             grid_sizes=(8,), grid_features=4, grid_bound=1.3)
+    coarse = emission_config(n_layers=2, d_filter=32, n_freqs=4)
+    renderer, init = make_emission_system(
+        model_config=config, coarse_config=coarse,
+        n_stratified=8, n_hierarchical=8,
+        tier_fraction=0.5, tier_samples=4)
+    params = init(jax.random.key(0))
+    rays_o = jnp.tile(jnp.asarray([[4.0, 0.0, 0.0]]), (16, 1))
+    rays_d = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (16, 1))
+    out = renderer(params, rays_o, rays_d, jnp.zeros((16, 1)),
+                   key=jax.random.key(1))
+    assert bool(jnp.all(jnp.isfinite(out['image'])))
+
+
+def test_grid_composes_with_dt_head():
+    """Grid-encoded density-temperature field: aux params (log_abs, vol_c)
+    coexist with grid tables through the fused path."""
+    from sunerf_tpu.models.fields import density_temperature_config
+    from sunerf_tpu.models.fields import nerf_apply_fused
+    config = density_temperature_config(n_layers=2, d_filter=32, n_freqs=4,
+                                        grid_sizes=(8,), grid_features=4)
+    params = init_nerf(jax.random.key(0), config)
+    pts = jax.random.uniform(jax.random.key(1), (16, 4), minval=-1, maxval=1)
+    ref = nerf_apply(config, params, pts)
+    fused = nerf_apply_fused(config, params, pts, tile=8, bwd_tile=8,
+                             interpret=True)
+    assert fused.log_abs is not None and fused.vol_c is not None
+    assert float(jnp.max(jnp.abs(ref.raw - fused.raw))) < 0.05
