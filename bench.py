@@ -154,6 +154,17 @@ def main(argv=None):
                                                      d_filter=384),
                         n_stratified=24, n_hierarchical=48,
                         coarse_config=proposal)),
+                    # learned feature-grid encoding (ops/grid_encoding.py):
+                    # a grid-fed 4x128 fine field at the quarter budget —
+                    # capacity-proven (RESULTS.md CPU A/B); psi_193 protocol
+                    # quality PENDING (PSI_GRID_r3) — treat as a throughput
+                    # ceiling probe until those rows land
+                    ('grid_quarter', dict(
+                        model_config=emission_config(
+                            n_layers=4, d_filter=128, grid_sizes=(16, 32),
+                            grid_features=8, grid_bound=1.3),
+                        n_stratified=24, n_hierarchical=48,
+                        coarse_config=proposal)),
                     # adaptive per-ray budgets (renderer.py _tiered_fine):
                     # the dim half of each batch renders at tier_samples
                     ('tiered', dict(coarse_config=proposal,
