@@ -21,6 +21,10 @@ timeout 3600 python scripts/probe_grid_kernel.py --out PROBE_GRID_r3.json \
     2>&1 | tail -10
 echo "--- grid kernel probe done $(date) ---"
 
+timeout 3600 python scripts/probe_grid_taps.py 2>&1 | tail -4 \
+    | tee PROBE_GRID_TAPS_r3.txt
+echo "--- tap-cost probe done $(date) ---"
+
 for arch in "4 128" "2 128"; do
     set -- $arch
     timeout 5400 python scripts/psi_protocol.py \
