@@ -42,12 +42,17 @@ def run_variant(name, data, workdir, steps, seed, **sys_kwargs):
     # compensates with log_rho ~ 4 below the generating SimpleStar's.
     renderer, init = make_density_temperature_system(
         pixel_intensity_factor=1e17, **sys_kwargs)
+    # grid-encoded fields REQUIRE the NGP table recipe (RESULTS.md
+    # capacity A/B: grids are worse than plain MLPs without it)
+    grid = bool(getattr(sys_kwargs.get('model_config'), 'grid_sizes', ()))
     trainer = Trainer(
         renderer, init, data,
         loss_config=LossConfig(image_scaling='none',
                                lambda_regularization=0.0),
         optim_config=OptimConfig(lr_start=1e-3, lr_end=1e-4,
-                                 lr_iterations=steps, lr_floor=1e-4),
+                                 lr_iterations=steps, lr_floor=1e-4,
+                                 table_lr_mult=10.0 if grid else 1.0,
+                                 adam_eps=1e-15 if grid else 1e-8),
         # no spike guard: raw multi-thermal intensities have huge ORDINARY
         # inter-batch loss variance (train-batch loss ~16k vs val-view loss
         # ~54 in the first attempt), which tripped the guard 2980/3000 steps
@@ -132,6 +137,13 @@ def main():
         ('dt_arch_6x384', dict(
             model_config=density_temperature_config(
                 n_layers=6, d_filter=384, n_freqs_time=2),
+            n_stratified=24, n_hierarchical=48, coarse_config=proposal)),
+        # feature-grid fine field on the DT head (the multiplicative head's
+        # liftoff physics above could interact with the table recipe)
+        ('dt_grid_4x128', dict(
+            model_config=density_temperature_config(
+                n_layers=4, d_filter=128, n_freqs_time=2,
+                grid_sizes=(16, 32), grid_features=8, grid_bound=1.3),
             n_stratified=24, n_hierarchical=48, coarse_config=proposal)),
     ]
     if args.configs:
