@@ -9,7 +9,7 @@ cd /root/repo
 echo "=== queue7 start $(date) ==="
 
 for i in $(seq 1 200); do
-    if timeout 90 python -c \
+    if timeout 600 python -c \
         "import jax, jax.numpy as jnp; float(jnp.ones((8,8)).sum())" \
         >/dev/null 2>&1; then
         echo "--- tunnel up $(date) ---"; break
