@@ -24,8 +24,12 @@ def config_key(c):
     if c.get('anneal'):
         a = c['anneal']
         ann = f" anneal{a['frac']}@{a['n_stratified']}+{a['n_hierarchical']}"
-    return (f"{c['n_stratified']}+{c['n_hierarchical']}{prop}{arch}{tier}"
-            f"{occ}{ann} @{c['steps']}st")
+    grid = ''
+    if c.get('grid'):
+        g = c['grid']
+        grid = f" grid{'x'.join(str(s) for s in g['sizes'])}f{g['features']}"
+    return (f"{c['n_stratified']}+{c['n_hierarchical']}{prop}{arch}{grid}"
+            f"{tier}{occ}{ann} @{c['steps']}st")
 
 
 def main():
