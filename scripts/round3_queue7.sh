@@ -25,6 +25,10 @@ timeout 3600 python scripts/probe_grid_taps.py 2>&1 | tail -4 \
     | tee PROBE_GRID_TAPS_r3.txt
 echo "--- tap-cost probe done $(date) ---"
 
+timeout 3600 python scripts/probe_grid_hatbuild.py 2>&1 | tail -2 \
+    | tee PROBE_GRID_HATBUILD_r3.txt
+echo "--- hat-build probe done $(date) ---"
+
 for arch in "4 128" "2 128"; do
     set -- $arch
     timeout 5400 python scripts/psi_protocol.py \
