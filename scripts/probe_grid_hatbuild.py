@@ -13,11 +13,9 @@ they agree in interpret mode.
 Usage: python scripts/probe_grid_hatbuild.py [--check] [--n 262144]
 """
 import argparse
-import functools
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -124,7 +122,9 @@ def main():
         G = 8
         e1, e2 = expansion_matrices(G)
         e1, e2 = jnp.asarray(e1, jnp.bfloat16), jnp.asarray(e2, jnp.bfloat16)
-        table = jax.random.normal(jax.random.key(0), (G * G, G * F))
+        # bf16 table, matching the production kernel's _prep_grid
+        table = jax.random.normal(
+            jax.random.key(0), (G * G, G * F)).astype(jnp.bfloat16)
         pts = jax.random.uniform(jax.random.key(1), (200, 3),
                                  minval=-2.0, maxval=2.0)
         a = make_encode(G, F, 1.3, 64, 'iota', True)(table, pts)
@@ -135,18 +135,13 @@ def main():
         print(json.dumps({'check': 'ok', 'max_abs_err': err}))
         return
 
-    def measure(fn, n1=3, n2=13):
-        def run(k):
-            r = None
-            t0 = time.perf_counter()
-            for _ in range(k):
-                r = fn()
-            _ = float(jnp.sum(r))
-            return time.perf_counter() - t0
-        run(2)
-        return (run(n2) - run(n1)) / (n2 - n1)
+    from sunerf_tpu.utils.timing import measure_median
 
-    table = jax.random.normal(jax.random.key(0), (G * G, G * F))
+    # bf16 table, matching the production kernel's _prep_grid (an f32 table
+    # would promote the shared table matmul to the slow f32 MXU path and
+    # dilute the A/B)
+    table = jax.random.normal(
+        jax.random.key(0), (G * G, G * F)).astype(jnp.bfloat16)
     pts = jax.random.uniform(jax.random.key(1), (args.n, 3),
                              minval=-1.2, maxval=1.2)
     out = {'n_points': args.n, 'grid': G, 'tile': args.tile}
@@ -154,8 +149,8 @@ def main():
         enc = make_encode(G, F, 1.3, args.tile, variant, interpret)
         fn = (jax.jit(lambda t=table: enc(t, pts)) if variant == 'iota'
               else jax.jit(lambda t=table: enc(t, pts, e1, e2)))
-        ts = sorted(measure(fn) for _ in range(args.reps))
-        out[f'{variant}_ms'] = round(ts[len(ts) // 2] * 1e3, 3)
+        out[f'{variant}_ms'] = round(
+            measure_median(fn, reps=args.reps) * 1e3, 3)
         print(json.dumps({k: v for k, v in out.items()}), flush=True)
     print(json.dumps(out))
 

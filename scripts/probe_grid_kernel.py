@@ -15,7 +15,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,20 +33,10 @@ def main():
 
     from sunerf_tpu.models.fields import (emission_config, init_nerf,
                                           nerf_apply_fused)
+    from sunerf_tpu.utils.timing import measure_median
 
     pts = jax.random.uniform(jax.random.key(0), (args.n, 4),
                              minval=-1.2, maxval=1.2)
-
-    def measure(fn, n1=3, n2=13):
-        def run(k):
-            t0 = time.perf_counter()
-            r = None
-            for _ in range(k):
-                r = fn()
-            _ = float(jnp.sum(r))      # scalar host fetch ends the chain
-            return time.perf_counter() - t0
-        run(2)
-        return (run(n2) - run(n1)) / (n2 - n1)
 
     CONFIGS = [
         ('8x512', dict(n_layers=8, d_filter=512)),
@@ -69,8 +58,8 @@ def main():
 
         fwd = jax.jit(lambda p=params, c=config: nerf_apply_fused(
             c, p, pts, compute_dpts=False).raw)
-        ts = sorted(measure(fwd) for _ in range(args.reps))
-        out[f'{label}_fwd_ms'] = round(ts[len(ts) // 2] * 1e3, 3)
+        out[f'{label}_fwd_ms'] = round(
+            measure_median(fwd, reps=args.reps) * 1e3, 3)
 
         def loss(p, c=config):
             return jnp.mean(nerf_apply_fused(
@@ -81,8 +70,8 @@ def main():
             v, g = jax.value_and_grad(loss)(p)
             return v + sum(jnp.sum(x) for x in jax.tree.leaves(g))
         step = jax.jit(fwd_bwd)
-        ts = sorted(measure(step) for _ in range(args.reps))
-        out[f'{label}_step_ms'] = round(ts[len(ts) // 2] * 1e3, 3)
+        out[f'{label}_step_ms'] = round(
+            measure_median(step, reps=args.reps) * 1e3, 3)
         print(json.dumps({k: v for k, v in out.items()
                           if k.startswith(label) or k == 'n_points'}),
               flush=True)

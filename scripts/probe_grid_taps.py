@@ -5,37 +5,42 @@ contraction for feature-grid encodings (ROADMAP round-4 question).
 The dense one-hot contraction (ops/grid_encoding.py) costs 2*N*G^3*F MXU
 FLOPs — fine at G<=32, hopeless at 64^3+. The alternative that scales is
 instant-NGP's: 8 table taps per point. On TPU that means per-point dynamic
-row slices from a VMEM-resident [G^3, F-padded] table inside a Pallas
-kernel. This probe measures that primitive's throughput: a kernel that, for
-each point, accumulates its 8 trilinear taps via a fori_loop of
-`pl.ds(idx, 1)` loads. If the measured per-tap cost beats
-(2*G^3*F / MXU_rate) at G=64, large grids become viable.
+slices from a VMEM-resident table inside a Pallas kernel. This probe
+measures that primitive's throughput: for each point, a fori_loop
+accumulates its 8 trilinear taps via `pl.ds` loads.
+
+Layout: naive [G^3, F] rows waste 128-F lanes (a 64^3 x 128-lane block is
+134 MB — over VMEM), so table rows are PACKED P = 128 // F per VMEM row:
+row r lives at [r // P, (r % P) * F : (r % P + 1) * F], shrinking the
+64^3 x 8 table block to 8.4 MB at the cost of a dynamic lane offset per tap.
 
 Correctness is pinned against grid_encode_ref in interpret mode (CPU);
-timing needs the real chip.
+timing needs the real chip. If the measured per-tap cost beats
+2*G^3*F / MXU_rate at G=64, large grids become viable for round 4.
 
 Usage: python scripts/probe_grid_taps.py [--check] [--n 65536] [--grid 32 64]
 """
 import argparse
-import functools
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_tap_encode(grid_size: int, features_padded: int, bound: float,
+def make_tap_encode(grid_size: int, features: int, bound: float,
                     tile: int, interpret: bool):
-    """Returns f(table [G^3, Fp] f32, points [N, 3]) -> [N, Fp] features via
-    per-point dynamic-slice taps (8 per point) from the VMEM-resident table."""
+    """Returns f(packed_table [G^3 // P, 128] f32, points [N, 3]) -> [N, F]
+    via per-point dynamic-slice taps (8 per point) from the VMEM-resident
+    packed table (P = 128 // features rows per VMEM row)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    G, Fp = grid_size, features_padded
+    G, F = grid_size, features
+    P = 128 // F
+    n_rows = G * G * G // P
 
     def kernel(pts_ref, table_ref, out_ref):
         pts = pts_ref[:]
@@ -46,11 +51,11 @@ def make_tap_encode(grid_size: int, features_padded: int, bound: float,
         lo_i = lo.astype(jnp.int32)
 
         def body(t, _):
-            # 8 corner taps for point t: row index (y+dy)*G^2-ish order —
-            # table rows are (y, z, x) flattened to match grid_encode_ref
+            # 8 corner taps for point t; table rows are (y, z, x) flattened
+            # to match grid_encode_ref, then packed P per VMEM row
             ix, iy, iz = lo_i[t, 0], lo_i[t, 1], lo_i[t, 2]
             fx, fy, fz = frac[t, 0], frac[t, 1], frac[t, 2]
-            acc = jnp.zeros((1, Fp), jnp.float32)
+            acc = jnp.zeros((1, F), jnp.float32)
             for dy in (0, 1):
                 for dz in (0, 1):
                     for dx in (0, 1):
@@ -58,13 +63,14 @@ def make_tap_encode(grid_size: int, features_padded: int, bound: float,
                              * (fz if dz else 1.0 - fz)
                              * (fx if dx else 1.0 - fx))
                         row = (iy + dy) * (G * G) + (iz + dz) * G + (ix + dx)
-                        acc = acc + w * table_ref[pl.ds(row, 1), :]
+                        acc = acc + w * table_ref[
+                            pl.ds(row // P, 1), pl.ds((row % P) * F, F)]
             out_ref[pl.ds(t, 1), :] = acc
             return 0
 
         jax.lax.fori_loop(0, pts.shape[0], body, 0)
 
-    def encode(table, points):
+    def encode(packed_table, points):
         n = points.shape[0]
         n_pad = (n + tile - 1) // tile * tile
         pts = jnp.pad(points, ((0, n_pad - n), (0, 0)))
@@ -74,19 +80,28 @@ def make_tap_encode(grid_size: int, features_padded: int, bound: float,
             in_specs=[
                 pl.BlockSpec((tile, 3), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((G * G * G, Fp), lambda i: (0, 0),
+                pl.BlockSpec((n_rows, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tile, Fp), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((tile, F), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad, Fp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_pad, F), jnp.float32),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(pts, table)
+        )(pts, packed_table)
         return out[:n]
 
     return encode
+
+
+def pack_table(table4):
+    """[G, G, G, F] (axis order y, z, x, f) -> [G^3 // P, 128] with
+    P = 128 // F consecutive rows per VMEM row."""
+    import jax.numpy as jnp
+    g, f = table4.shape[0], table4.shape[-1]
+    p = 128 // f
+    return table4.reshape(g * g * g // p, p * f)
 
 
 def main():
@@ -108,21 +123,20 @@ def main():
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
+    from sunerf_tpu.utils.timing import measure_median
+
     interpret = jax.default_backend() != 'tpu'
-    Fp = max(args.features, 128)  # lane-pad the feature dim
 
     if args.check:
         from sunerf_tpu.ops.grid_encoding import grid_encode_ref
         import numpy as np
         G = 8
-        key = jax.random.key(0)
-        table4 = jax.random.normal(key, (G, G, G, args.features))
-        table2 = jnp.pad(table4.reshape(G * G * G, args.features),
-                         ((0, 0), (0, Fp - args.features)))
+        table4 = jax.random.normal(jax.random.key(0),
+                                   (G, G, G, args.features))
         pts = jax.random.uniform(jax.random.key(1), (300, 3),
                                  minval=-2.0, maxval=2.0)
-        enc = make_tap_encode(G, Fp, 2.0, 64, interpret=True)
-        got = enc(table2, pts)[:, :args.features]
+        enc = make_tap_encode(G, args.features, 2.0, 64, interpret=True)
+        got = enc(pack_table(table4), pts)
         want = grid_encode_ref(table4, pts, bound=2.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
@@ -130,26 +144,17 @@ def main():
             jnp.max(jnp.abs(got - want)))}))
         return
 
-    def measure(fn, n1=3, n2=13):
-        def run(k):
-            r = None
-            t0 = time.perf_counter()
-            for _ in range(k):
-                r = fn()
-            _ = float(jnp.sum(r))
-            return time.perf_counter() - t0
-        run(2)
-        return (run(n2) - run(n1)) / (n2 - n1)
-
     pts = jax.random.uniform(jax.random.key(1), (args.n, 3),
                              minval=-1.2, maxval=1.2)
-    out = {'n_points': args.n, 'tile': args.tile, 'features_padded': Fp}
+    out = {'n_points': args.n, 'tile': args.tile, 'features': args.features}
     for G in args.grid:
-        table = jax.random.normal(jax.random.key(2), (G * G * G, Fp))
-        enc = make_tap_encode(G, Fp, 1.3, args.tile, interpret=interpret)
-        f = jax.jit(lambda t=table: enc(t, pts))
-        ts = sorted(measure(f) for _ in range(args.reps))
-        ms = ts[len(ts) // 2] * 1e3
+        table4 = jax.random.normal(jax.random.key(2),
+                                   (G, G, G, args.features))
+        packed = pack_table(table4)
+        enc = make_tap_encode(G, args.features, 1.3, args.tile,
+                              interpret=interpret)
+        f = jax.jit(lambda t=packed: enc(t, pts))
+        ms = measure_median(f, reps=args.reps) * 1e3
         out[f'taps_{G}^3_ms'] = round(ms, 3)
         out[f'taps_{G}^3_ns_per_tap'] = round(ms * 1e6 / (args.n * 8), 2)
         print(json.dumps({k: v for k, v in out.items() if str(G) in k}),

@@ -288,9 +288,13 @@ def main():
         # (and so psi_matrix.py idempotency) unchanged
         out['config']['grid'] = {'sizes': list(args.grid_sizes),
                                  'features': args.grid_features,
-                                 'bound': args.grid_bound,
-                                 'table_lr_mult': args.table_lr_mult,
-                                 'adam_eps': args.adam_eps}
+                                 'bound': args.grid_bound}
+    if (args.table_lr_mult, args.adam_eps) != (1.0, 1e-8):
+        # recorded OUTSIDE the grid block: adam_eps changes the optimizer
+        # for ALL params, and a non-grid eps-control row must not collapse
+        # into the default-eps signature
+        out['config']['optim'] = {'table_lr_mult': args.table_lr_mult,
+                                  'adam_eps': args.adam_eps}
     if phase1_steps:
         # key absent when off: keeps pre-anneal matrix rows' signatures
         # (and so psi_matrix.py idempotency) unchanged

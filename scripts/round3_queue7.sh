@@ -29,6 +29,16 @@ timeout 3600 python scripts/probe_grid_hatbuild.py 2>&1 | tail -2 \
     | tee PROBE_GRID_HATBUILD_r3.txt
 echo "--- hat-build probe done $(date) ---"
 
+# plain 4x128 control at the same steps: the CPU mini A/B
+# (PSI_GRID_CPU_r3.jsonl) showed grids UNDERFITTING at short schedules, so
+# the grid rows need an equal-steps plain control to be interpretable
+timeout 5400 python scripts/psi_protocol.py \
+    --proposal-coarse --n-stratified 24 --n-hierarchical 48 \
+    --model-layers 4 --model-filter 128 --steps 12500 --seed 7 \
+    --out PSI_GRID_r3.jsonl --data-cache /tmp/psi_scene_cache \
+    2>&1 | tail -4
+echo "--- plain 4x128 control done $(date) ---"
+
 for arch in "4 128" "2 128"; do
     set -- $arch
     timeout 5400 python scripts/psi_protocol.py \

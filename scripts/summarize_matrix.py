@@ -27,9 +27,14 @@ def config_key(c):
     grid = ''
     if c.get('grid'):
         g = c['grid']
-        grid = f" grid{'x'.join(str(s) for s in g['sizes'])}f{g['features']}"
+        grid = (f" grid{'x'.join(str(s) for s in g['sizes'])}"
+                f"f{g['features']}b{g['bound']}")
+    opt = ''
+    if c.get('optim') or (c.get('grid') or {}).get('table_lr_mult'):
+        o = c.get('optim') or c['grid']  # legacy rows kept it in the grid key
+        opt = f" tlr{o['table_lr_mult']}eps{o['adam_eps']:g}"
     return (f"{c['n_stratified']}+{c['n_hierarchical']}{prop}{arch}{grid}"
-            f"{tier}{occ}{ann} @{c['steps']}st")
+            f"{opt}{tier}{occ}{ann} @{c['steps']}st")
 
 
 def main():
