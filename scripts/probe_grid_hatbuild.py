@@ -38,7 +38,7 @@ def make_encode(G, F, bound, tile, variant, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from sunerf_tpu.ops.pallas.fused_mlp import _hat
+    from sunerf_tpu.ops.pallas.fused_mlp import _Dims, _grid_wyz, _hat
 
     def _mm(a, b):
         return jnp.dot(a.astype(jnp.bfloat16), b,
@@ -64,6 +64,17 @@ def make_encode(G, F, bound, tile, variant, interpret):
         wyz = _mm(wy, e1_ref[:]) * _mm(wz, e2_ref[:])
         out_ref[:] = _mm(wyz, table_ref[:])
 
+    # the PRODUCTION grid_hat_mxu=True path (ops/pallas/fused_mlp.py
+    # _grid_wyz): expansion matrices built in-kernel from iota comparisons
+    # instead of passed as operands — what the flag actually ships
+    prod_dims = _Dims(d_input=3, d_enc=0, d_filter=0, d_output=0, n_hidden=0,
+                      n_freqs=0, scale_factor=1.0, grid_sizes=(G,),
+                      grid_features=F, grid_bound=bound, grid_hat_mxu=True)
+
+    def kernel_inkernel(pts_ref, table_ref, out_ref):
+        wyz = _grid_wyz(pts_ref[:], prod_dims, G)
+        out_ref[:] = _mm(wyz, table_ref[:])
+
     def encode(table, points, e1=None, e2=None):
         n = points.shape[0]
         n_pad = (n + tile - 1) // tile * tile
@@ -80,6 +91,8 @@ def make_encode(G, F, bound, tile, variant, interpret):
                                       memory_space=pltpu.VMEM)] * 2
             operands += [e1, e2]
             kernel = kernel_expand
+        elif variant == 'inkernel':
+            kernel = kernel_inkernel
         out = pl.pallas_call(
             kernel,
             grid=(n_pad // tile,),
@@ -129,10 +142,14 @@ def main():
                                  minval=-2.0, maxval=2.0)
         a = make_encode(G, F, 1.3, 64, 'iota', True)(table, pts)
         b = make_encode(G, F, 1.3, 64, 'expand', True)(table, pts, e1, e2)
-        err = float(jnp.max(jnp.abs(a - b)))
+        c = make_encode(G, F, 1.3, 64, 'inkernel', True)(table, pts)
         scale = float(jnp.max(jnp.abs(a)))
-        assert err < 0.02 * scale + 1e-4, (err, scale)
-        print(json.dumps({'check': 'ok', 'max_abs_err': err}))
+        errs = {}
+        for name, x in (('expand', b), ('inkernel', c)):
+            err = float(jnp.max(jnp.abs(a - x)))
+            assert err < 0.02 * scale + 1e-4, (name, err, scale)
+            errs[f'max_abs_err_{name}'] = err
+        print(json.dumps({'check': 'ok', **errs}))
         return
 
     from sunerf_tpu.utils.timing import measure_median
@@ -145,10 +162,11 @@ def main():
     pts = jax.random.uniform(jax.random.key(1), (args.n, 3),
                              minval=-1.2, maxval=1.2)
     out = {'n_points': args.n, 'grid': G, 'tile': args.tile}
-    for variant in ('iota', 'expand'):
+    for variant in ('iota', 'expand', 'inkernel'):
         enc = make_encode(G, F, 1.3, args.tile, variant, interpret)
-        fn = (jax.jit(lambda t=table: enc(t, pts)) if variant == 'iota'
-              else jax.jit(lambda t=table: enc(t, pts, e1, e2)))
+        fn = (jax.jit(lambda t=table: enc(t, pts, e1, e2))
+              if variant == 'expand'
+              else jax.jit(lambda t=table, e=enc: e(t, pts)))
         out[f'{variant}_ms'] = round(
             measure_median(fn, reps=args.reps) * 1e3, 3)
         print(json.dumps({k: v for k, v in out.items()}), flush=True)

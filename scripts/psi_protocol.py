@@ -93,6 +93,10 @@ def main():
                              'subsidize a much smaller MLP '
                              '(ops/grid_encoding.py); empty = off')
     parser.add_argument('--grid-features', type=int, default=8)
+    parser.add_argument('--grid-hat-mxu', action='store_true',
+                        help='fused-kernel hat build via constant-expansion '
+                             'MXU matmuls (numerics-equivalent; timing A/B: '
+                             'scripts/probe_grid_hatbuild.py)')
     parser.add_argument('--grid-bound', type=float, default=1.3,
                         help='grid half-extent in ds units (the psi scene '
                              'samples within 1.3 Rsun of Sun center)')
@@ -206,7 +210,8 @@ def main():
 
     grid_kwargs = (dict(grid_sizes=tuple(args.grid_sizes),
                         grid_features=args.grid_features,
-                        grid_bound=args.grid_bound)
+                        grid_bound=args.grid_bound,
+                        grid_hat_mxu=args.grid_hat_mxu)
                    if args.grid_sizes else {})
 
     def make_trainer(n_strat, n_hier, total_steps, phase_start=0):
@@ -289,6 +294,10 @@ def main():
         out['config']['grid'] = {'sizes': list(args.grid_sizes),
                                  'features': args.grid_features,
                                  'bound': args.grid_bound}
+        if args.grid_hat_mxu:
+            # numerics-equivalent kernel strategy; recorded for provenance
+            # but only when on, so default rows keep their signatures
+            out['config']['grid']['hat_mxu'] = True
     if (args.table_lr_mult, args.adam_eps) != (1.0, 1e-8):
         # recorded OUTSIDE the grid block: adam_eps changes the optimizer
         # for ALL params, and a non-grid eps-control row must not collapse

@@ -67,6 +67,12 @@ class NeRFConfig:
     grid_sizes: tuple = ()
     grid_features: int = 8
     grid_bound: float = 2.0
+    # fused-kernel hat-build strategy (numerics-equivalent up to bf16
+    # rounding): True expands per-axis hat rows onto the pair/feature
+    # column layouts with constant 0/1 MXU matmuls instead of building
+    # them directly with iota-hat VPU math (ops/pallas/fused_mlp.py;
+    # A/B-decided by scripts/probe_grid_hatbuild.py). XLA path unaffected.
+    grid_hat_mxu: bool = False
 
     def __post_init__(self):
         # specs round-trip through JSON (systems.py:255), which turns tuples

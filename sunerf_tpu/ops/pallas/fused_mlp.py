@@ -184,6 +184,12 @@ class _Dims(NamedTuple):
     grid_sizes: tuple = ()
     grid_features: int = 0
     grid_bound: float = 2.0
+    # hat-expansion strategy: False = build wyz[t, y*G+z] directly with
+    # iota-hat VPU math (~7 f32 ops per T*G^2 element); True = build per-axis
+    # hat rows [T, G] and expand onto the pair/feature column layouts via
+    # constant 0/1 matmuls on the MXU (ROADMAP follow-up 2; A/B:
+    # scripts/probe_grid_hatbuild.py)
+    grid_hat_mxu: bool = False
 
     @property
     def d_grid(self) -> int:
@@ -203,7 +209,8 @@ def _dims_from_config(config) -> _Dims:
                  n_freqs_time=getattr(config, 'n_freqs_time', None),
                  grid_sizes=tuple(getattr(config, 'grid_sizes', ()) or ()),
                  grid_features=getattr(config, 'grid_features', 0),
-                 grid_bound=getattr(config, 'grid_bound', 2.0))
+                 grid_bound=getattr(config, 'grid_bound', 2.0),
+                 grid_hat_mxu=getattr(config, 'grid_hat_mxu', False))
 
 
 def _freq_matrix(dims: _Dims) -> np.ndarray:
@@ -263,9 +270,27 @@ def _grid_uvw(pts, dims: _Dims, grid_size: int):
     return u[:, 0:1], u[:, 1:2], u[:, 2:3]
 
 
+def _expand_matrix(grid_size: int, n_cols: int, group: int, use_mod: bool):
+    """[G, n_cols] constant 0/1 expansion: E[g, c] = ((c % or //) group == g).
+    Built from iota comparisons over G-fold fewer elements than the direct
+    hat build (Mosaic constant-folds the all-constant graph where it can)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (grid_size, n_cols), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (grid_size, n_cols), 0)
+    idx = (j % group) if use_mod else (j // group)
+    return (idx == row).astype(jnp.bfloat16)
+
+
 def _grid_wyz(pts, dims: _Dims, grid_size: int):
     """[T, G^2] (y,z)-pair hat weights (4 nonzeros per row), f32."""
     _, uy, uz = _grid_uvw(pts, dims, grid_size)
+    if dims.grid_hat_mxu:
+        # per-axis hat rows (T*G elements) expanded onto the y*G+z column
+        # layout with constant 0/1 matmuls (MXU), one VPU multiply
+        g_row = jax.lax.broadcasted_iota(
+            jnp.int32, (1, grid_size), 1).astype(jnp.float32)
+        e1 = _expand_matrix(grid_size, grid_size * grid_size, grid_size, False)
+        e2 = _expand_matrix(grid_size, grid_size * grid_size, grid_size, True)
+        return _mm(_hat(uy, g_row), e1) * _mm(_hat(uz, g_row), e2)
     j = jax.lax.broadcasted_iota(jnp.int32, (1, grid_size * grid_size), 1)
     y_idx = (j // grid_size).astype(jnp.float32)
     z_idx = (j % grid_size).astype(jnp.float32)
@@ -276,6 +301,11 @@ def _grid_wxe(pts, dims: _Dims, grid_size: int):
     """[T, G*F] x-hat expanded over the table's (x, f) column order."""
     ux, _, _ = _grid_uvw(pts, dims, grid_size)
     f = dims.grid_features
+    if dims.grid_hat_mxu:
+        g_row = jax.lax.broadcasted_iota(
+            jnp.int32, (1, grid_size), 1).astype(jnp.float32)
+        ex = _expand_matrix(grid_size, grid_size * f, f, False)
+        return _mm(_hat(ux, g_row), ex)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, grid_size * f), 1)
     return _hat(ux, (col // f).astype(jnp.float32))
 

@@ -240,6 +240,35 @@ def test_fused_grid_gradients_match_reference():
         assert rel < 0.03, f'{k}: {rel}'
 
 
+def test_fused_grid_hat_mxu_matches_reference():
+    """grid_hat_mxu=True (constant-expansion MXU hat build) is numerics-
+    equivalent to the XLA path for both forward and the stashing backward
+    (same tolerance as the default iota build)."""
+    config = emission_config(n_layers=3, d_filter=64, n_freqs=4,
+                             grid_sizes=(8, 16), grid_features=8,
+                             grid_hat_mxu=True)
+    params = init_nerf(jax.random.key(0), config)
+    params['grid_0'] = params['grid_0'] * 1e4
+    params['grid_1'] = params['grid_1'] * 1e4
+    pts = jax.random.uniform(jax.random.key(1), (48, 4),
+                             minval=-1.5, maxval=1.5)
+    ref = nerf_apply(config, params, pts).raw
+    fused = nerf_apply_fused(config, params, pts, tile=16, bwd_tile=16,
+                             interpret=True).raw
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(ref - fused))) < 0.01 * scale + 1e-4
+
+    g_ref = jax.grad(lambda p: jnp.mean(nerf_apply(config, p, pts).raw ** 2))(params)
+    g_fused = jax.grad(lambda p: jnp.mean(
+        nerf_apply_fused(config, p, pts, stash=True, stash_tile=16,
+                         stash_bwd_tile=16, interpret=True,
+                         compute_dpts=False).raw ** 2))(params)
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_fused[k])
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
+        assert rel < 0.03, f'{k}: {rel}'
+
+
 def test_fused_grid_guards():
     """Unsupported combinations fail loudly, not wrongly."""
     config = emission_config(n_layers=2, d_filter=32, n_freqs=2,
