@@ -104,6 +104,13 @@ def main():
                         help='feature-grid table lr multiplier '
                              '(instant-NGP recipe: ~10x the MLP lr)')
     parser.add_argument('--adam-eps', type=float, default=1e-8)
+    parser.add_argument('--keep-best', action='store_true',
+                        help='validate periodically (steps//8) and score the '
+                             'best-held-out checkpoint (save_state_best) '
+                             'instead of the final step — counters the '
+                             'long-schedule degradation of small fields '
+                             '(RESULTS.md arch rows). Changes row semantics: '
+                             'use a separate matrix file.')
     parser.add_argument('--platform', default=None,
                         help="force a jax platform (e.g. 'cpu' for offline "
                              "smoke runs; env vars are too late — the "
@@ -227,7 +234,10 @@ def main():
             loss_config=loss_config, optim_config=optim_config,
             spike_guard=10.0,
             trainer_config=TrainerConfig(total_steps=total_steps,
-                                         val_every=args.steps,
+                                         val_every=(max(args.steps // 8, 1)
+                                                    if args.keep_best
+                                                    else args.steps),
+                                         keep_best=args.keep_best,
                                          checkpoint_every=total_steps,
                                          # ~10 windows per PHASE so a short
                                          # anneal phase still contributes
@@ -267,7 +277,12 @@ def main():
         rates = [r for _, r in samples]
         rate = float(np.median(rates[1:] or rates))
 
-    loader = SuNeRFLoader(os.path.join(run_dir, 'save_state.npz'))
+    bundle = os.path.join(run_dir, 'save_state.npz')
+    if args.keep_best:
+        best = os.path.join(run_dir, 'save_state_best.npz')
+        if os.path.exists(best):
+            bundle = best
+    loader = SuNeRFLoader(bundle)
     metrics = evaluate_viewpoints(loader,
                                   sorted(glob.glob(os.path.join(gt_dir,
                                                                 '*.fits'))))
@@ -311,6 +326,12 @@ def main():
             'frac': args.anneal_frac,
             'n_stratified': args.anneal_stratified,
             'n_hierarchical': args.anneal_hierarchical}
+    if args.keep_best:
+        # key absent when off: keeps final-step rows' signatures unchanged;
+        # records which bundle was actually scored (best may be absent if
+        # no validation improved on -inf, i.e. the run produced no val rows)
+        out['config']['keep_best'] = True
+        out['scored_bundle'] = os.path.basename(bundle)
     if args.occupancy:
         # key absent when off: keeps pre-occupancy matrix rows' signatures
         # (and so psi_matrix.py idempotency) unchanged
