@@ -20,7 +20,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -77,30 +76,21 @@ def main():
     pts3 = jax.random.uniform(key, (args.n, 3), minval=-1.0, maxval=1.0)
     pts4 = jnp.concatenate([pts3, jnp.zeros((args.n, 1))], axis=-1)
 
-    def measure(fn, n1=3, n2=13):
-        def run(k):
-            t0 = time.perf_counter()
-            r = None
-            for _ in range(k):
-                r = fn()
-            _ = float(jnp.sum(r))
-            return time.perf_counter() - t0
-        run(2)
-        return (run(n2) - run(n1)) / (n2 - n1)
+    from sunerf_tpu.utils.timing import measure_median
 
     out = {}
     for nl, df in ((6, 384), (2, 128)):
         config = emission_config(n_layers=nl, d_filter=df)
         params = init_nerf(jax.random.key(1), config)
         f = jax.jit(lambda p=params, c=config: nerf_apply_fused(c, p, pts4).raw)
-        ts = sorted(measure(f) for _ in range(args.reps))
-        out[f'mlp_{nl}x{df}'] = round(ts[len(ts) // 2] * 1e3, 3)
+        out[f'mlp_{nl}x{df}'] = round(
+            measure_median(f, reps=args.reps) * 1e3, 3)
 
     for G in args.grid:
         table = jax.random.normal(jax.random.key(2), (G ** 3, args.features))
         f = jax.jit(lambda t=table, g=G: grid_encode(pts3, t, g, args.chunk))
-        ts = sorted(measure(f) for _ in range(args.reps))
-        out[f'grid_{G}^3x{args.features}'] = round(ts[len(ts) // 2] * 1e3, 3)
+        out[f'grid_{G}^3x{args.features}'] = round(
+            measure_median(f, reps=args.reps) * 1e3, 3)
 
     out['n_points'] = args.n
     print(json.dumps(out))

@@ -109,12 +109,21 @@ def main():
             n_prep += 1
     assert n_prep == n, f'prep dropped files: {n_prep}/{n}'
 
-    # sanity: prep output must match a direct read of the uncompressed render
-    # up to quantization noise + the (uniform) degradation factor
-    a, _ = read_fits(sorted(glob.glob(
-        os.path.join(workdir, 'renders', 'aia', '193', '*.fits')))[0])
+    # sanity: prep of the jsocified (RICE + DITHER_2) file must match prep of
+    # the original uncompressed render up to quantization noise — running the
+    # SAME prep on both isolates exactly the compress/decode error
+    first_render = sorted(glob.glob(
+        os.path.join(workdir, 'renders', 'aia', '193', '*.fits')))[0]
+    ref_prep = prep_file(first_render, os.path.join(workdir, 'prep_ref'),
+                         'sdo', resolution=args.resolution)
+    a, _ = read_fits(ref_prep)
     b, _ = read_fits(sorted(glob.glob(os.path.join(prep_dir, '*.fits')))[0])
     assert np.isfinite(b).all(), 'NaNs leaked through prep'
+    scale = float(np.abs(a).max()) or 1.0
+    quant_err = float(np.max(np.abs(a - b))) / scale
+    assert quant_err < 5e-3, \
+        f'compressed prep deviates from uncompressed: rel err {quant_err:.2e}'
+    print(f'prep compress/decode rel err {quant_err:.2e} (vs uncompressed)')
 
     # 4. train + held-out metrics
     data = build_single_channel_data(

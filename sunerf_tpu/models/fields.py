@@ -105,7 +105,8 @@ def init_nerf(key: jax.Array, config: NeRFConfig) -> dict:
     keys = jax.random.split(key, n_hidden + 2 + len(config.grid_sizes))
     w_in, b_in = _linear_init(keys[0], config.d_encoded, config.d_filter)
     hidden = [_linear_init(k, config.d_filter, config.d_filter) for k in keys[1:1 + n_hidden]]
-    w_out, b_out = _linear_init(keys[-1], config.d_filter, config.d_output)
+    w_out, b_out = _linear_init(keys[n_hidden + 1], config.d_filter,
+                                config.d_output)
     params = {
         'w_in': w_in, 'b_in': b_in,
         'w_h': jnp.stack([w for w, _ in hidden]),

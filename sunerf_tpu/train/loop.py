@@ -10,6 +10,7 @@ device; validation and checkpointing are the only sync points.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import Optional
 
@@ -364,16 +365,37 @@ class Trainer:
             val['val_psnr'] = float(np.mean(psnrs))
             val['val_ssim'] = float(np.mean(ssims))
             if self.config.keep_best and \
-                    val['val_psnr'] > getattr(self, '_best_val_psnr', -np.inf):
+                    val['val_psnr'] > self._best_psnr_high_water():
                 self._best_val_psnr = val['val_psnr']
                 config = dict(self.data.config)
                 if self.renderer.spec is not None:
                     config['renderer_spec'] = self.renderer.spec
+                # stamp the score into the bundle so a NEW Trainer on the
+                # same workdir (preemption resume, two-phase annealing)
+                # restores the high-water mark instead of clobbering the
+                # best bundle with its first validation
+                config['best_val_psnr'] = val['val_psnr']
                 save_state(os.path.join(self.workdir, 'save_state_best'),
                            jax.tree.map(np.asarray, self.state.params), config)
                 val['val_best_psnr'] = val['val_psnr']
         self.logger.log(val, step)
         return val
+
+    def _best_psnr_high_water(self) -> float:
+        """Best held-out PSNR seen by ANY Trainer on this workdir: in-memory
+        if this instance already validated, else recovered from the existing
+        save_state_best bundle (preemption resume / multi-phase schedules
+        must not overwrite a better checkpoint with a worse first val)."""
+        if hasattr(self, '_best_val_psnr'):
+            return self._best_val_psnr
+        sidecar = os.path.join(self.workdir, 'save_state_best.json')
+        if os.path.exists(sidecar):
+            try:
+                with open(sidecar) as fh:
+                    return float(json.load(fh).get('best_val_psnr', -np.inf))
+            except (ValueError, OSError):
+                return -np.inf
+        return -np.inf
 
     def _save_val_image(self, pred, target, step, channel, coarse=None,
                         height=None, absorption=None):

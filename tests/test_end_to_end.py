@@ -174,6 +174,21 @@ def test_keep_best_checkpoint(rendered_views, tmp_path):
                                         distance=215.0, resolution=8)
     assert np.all(np.isfinite(view.image))
 
+    # the high-water mark survives a NEW Trainer on the same workdir
+    # (preemption resume / two-phase annealing): a fresh instance must NOT
+    # clobber save_state_best on a first validation worse than the record
+    with open(os.path.join(workdir, 'save_state_best.json')) as f:
+        assert float(json.load(f)['best_val_psnr']) == max(bests)
+    trainer2 = Trainer(
+        renderer, init, data,
+        loss_config=LossConfig(scaling_vmax=10.0),
+        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+        trainer_config=TrainerConfig(total_steps=30, val_every=10,
+                                     checkpoint_every=30, log_every=10,
+                                     save_val_images=False, keep_best=True),
+        workdir=workdir)
+    assert trainer2._best_psnr_high_water() == max(bests)
+
 
 def test_budget_anneal_handoff(rendered_views, tmp_path):
     """Budget annealing (scripts/psi_protocol.py --anneal-frac): a warm phase

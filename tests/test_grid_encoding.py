@@ -107,6 +107,12 @@ def test_grid_config_encoded_dim_and_init():
     assert params['w_in'].shape == (config.d_encoded, 64)
     # NGP-style tiny init
     assert float(jnp.max(jnp.abs(params['grid_0']))) <= 1e-4
+    # every param draws from its OWN key: adding grid levels must not
+    # perturb the MLP layer inits (w_out once aliased the last grid key),
+    # so the output layer matches the grid-free init bit-for-bit
+    base_params = init_nerf(jax.random.key(0), base)
+    for k in ('w_out', 'b_out', 'w_h', 'b_h'):
+        assert np.array_equal(np.asarray(params[k]), np.asarray(base_params[k])), k
 
 
 def test_grid_field_apply_and_gradients_flow():
