@@ -131,6 +131,24 @@ def run_signature(steps, extra, seed):
     shape = (int(val('--model-layers', 8)), int(val('--model-filter', 512)))
     if shape != (8, 512):  # key absent at parity (matches psi_protocol)
         sig['model_shape'] = list(shape)
+    if '--grid-sizes' in extra:  # key absent when off (matches psi_protocol)
+        gi = extra.index('--grid-sizes') + 1
+        sizes = []
+        while gi < len(extra) and not extra[gi].startswith('--'):
+            sizes.append(int(extra[gi]))
+            gi += 1
+        sig['grid'] = {'sizes': sizes,
+                       'features': int(val('--grid-features', 8)),
+                       'bound': float(val('--grid-bound', 1.3))}
+        if '--grid-hat-mxu' in extra:
+            sig['grid']['hat_mxu'] = True
+    if '--table-lr-mult' in extra or '--adam-eps' in extra:
+        mult = float(val('--table-lr-mult', 1.0))
+        eps = float(val('--adam-eps', 1e-8))
+        if (mult, eps) != (1.0, 1e-8):  # matches psi_protocol's optim key
+            sig['optim'] = {'table_lr_mult': mult, 'adam_eps': eps}
+    if '--keep-best' in extra:  # key absent when off (matches psi_protocol)
+        sig['keep_best'] = True
     return sig
 
 
