@@ -29,12 +29,15 @@ def config_key(c):
         g = c['grid']
         grid = (f" grid{'x'.join(str(s) for s in g['sizes'])}"
                 f"f{g['features']}b{g['bound']}")
+        if g.get('hat_mxu'):
+            grid += 'mxu'
     opt = ''
     if c.get('optim') or (c.get('grid') or {}).get('table_lr_mult'):
         o = c.get('optim') or c['grid']  # legacy rows kept it in the grid key
         opt = f" tlr{o['table_lr_mult']}eps{o['adam_eps']:g}"
+    kb = ' best' if c.get('keep_best') else ''
     return (f"{c['n_stratified']}+{c['n_hierarchical']}{prop}{arch}{grid}"
-            f"{opt}{tier}{occ}{ann} @{c['steps']}st")
+            f"{opt}{tier}{occ}{ann}{kb} @{c['steps']}st")
 
 
 def main():
