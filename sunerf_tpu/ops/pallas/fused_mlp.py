@@ -770,7 +770,7 @@ def _fused_mlp_stash_bwd(dims, tile, bwd_tile, interpret, compute_dpts, fmt,
     dpts_specs = [pl.BlockSpec((bwd_tile, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] if compute_dpts else []
     out_shapes = dpts_shapes + [jax.ShapeDtypeStruct(s, f) for s in grad_shapes]
-    out_specs = dpts_specs + [pl.BlockSpec(memory_space=pltpu.ANY)] * (6 + ng)
+    out_specs = dpts_specs + [pl.BlockSpec(memory_space=pl.ANY)] * (6 + ng)
     single = fmt in ('lsb', 'i8pair')
     hs_cols = 2 * L1 * H if fmt == 'i8pair' else L1 * H
     act_spec = pl.BlockSpec((bwd_tile, hs_cols), lambda i: (i, 0),
@@ -931,7 +931,7 @@ def _fused_mlp_bwd(dims, tile, bwd_tile, interpret, residuals, g):
                   + [jax.ShapeDtypeStruct(s, f) for s in grad_shapes])
     out_specs = ([pl.BlockSpec((bwd_tile, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
-                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6)
+                 + [pl.BlockSpec(memory_space=pl.ANY)] * 6)
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, dims=dims),
