@@ -29,6 +29,10 @@ timeout 3600 python scripts/probe_grid_hatbuild.py 2>&1 | tail -2 \
     | tee PROBE_GRID_HATBUILD_r3.txt
 echo "--- hat-build probe done $(date) ---"
 
+timeout 3600 python scripts/probe_grid_step.py --out PROBE_GRID_STEP_r3.json \
+    2>&1 | tail -2
+echo "--- grid step A/B done $(date) ---"
+
 # plain 4x128 control at the same steps: the CPU mini A/B
 # (PSI_GRID_CPU_r3.jsonl) showed grids UNDERFITTING at short schedules, so
 # the grid rows need an equal-steps plain control to be interpretable
