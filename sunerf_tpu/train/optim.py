@@ -11,6 +11,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import optax
+from jax.tree_util import DictKey, tree_map_with_path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,7 +47,6 @@ def _scale_table_updates(mult: float) -> optax.GradientTransformation:
 
     def update_fn(updates, state, params=None):
         del params
-        from jax.tree_util import DictKey, tree_map_with_path
 
         def scale(path, u):
             is_table = any(isinstance(k, DictKey)
