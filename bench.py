@@ -130,6 +130,28 @@ def main(argv=None):
         'vs_baseline': round(rays_per_sec / ESTIMATED_REFERENCE_RAYS_PER_SEC, 3),
     }
 
+    # full-disk render throughput (the north star names "train + full-disk
+    # render", BASELINE.md): forward-only eval pass (key=None — no perturb,
+    # no stash) at the reference inference workload, full 64+128 budget.
+    import jax.numpy as jnp
+    render_batch = 4096  # reference analytic/video inference batch
+    rb = _example_batch(render_batch)
+    fwd = jax.jit(lambda p, b: renderer(p, b['rays'][:, 0], b['rays'][:, 1],
+                                        b['time'])['image'])
+
+    def render_fn(n):
+        t0 = time.perf_counter()
+        img = None
+        for _ in range(n):
+            img = fwd(params, rb)
+        _ = float(jnp.sum(img))  # host fetch forces the chain
+        return time.perf_counter() - t0
+
+    render_fn(2)  # warmup/compile
+    t1, t2 = render_fn(5), render_fn(25)
+    render_rays = render_batch / ((t2 - t1) / 20)
+    result['render_rays_per_sec'] = round(render_rays, 1)
+
     if not args.no_occupancy:
         from sunerf_tpu.models.fields import emission_config
         proposal = emission_config(n_layers=4, d_filter=128)
