@@ -1,9 +1,11 @@
 #!/bin/bash
 # Round-3 TPU queue, part 7: feature-grid encoding on the real chip.
 # Run AFTER queue6 (single-tenant TPU — never overlap TPU processes).
-#   1. kernel-level timing for grid-encoded fields (PROBE_GRID_r3.json)
-#   2. single-seed psi_193 rows: grid-encoded small fine MLPs at the
-#      prop_24_48 budget family (quality sanity before 3-seed rows)
+#   1. single-seed psi_193 rows FIRST (quality gates the round-4 grid
+#      decision; speed probes only matter if quality holds): equal-steps
+#      plain 4x128 control + grid rows at the prop_24_48 budget family
+#   2. kernel-level timing probes (PROBE_GRID_r3.json, tap cost, hat-build
+#      three-way, full-step hat A/B)
 set -u
 cd /root/repo
 echo "=== queue7 start $(date) ==="
@@ -16,22 +18,6 @@ for i in $(seq 1 200); do
     fi
     echo "probe $i failed $(date)"; sleep 180
 done
-
-timeout 3600 python scripts/probe_grid_kernel.py --out PROBE_GRID_r3.json \
-    2>&1 | tail -10
-echo "--- grid kernel probe done $(date) ---"
-
-timeout 3600 python scripts/probe_grid_taps.py 2>&1 | tail -4 \
-    | tee PROBE_GRID_TAPS_r3.txt
-echo "--- tap-cost probe done $(date) ---"
-
-timeout 3600 python scripts/probe_grid_hatbuild.py 2>&1 | tail -2 \
-    | tee PROBE_GRID_HATBUILD_r3.txt
-echo "--- hat-build probe done $(date) ---"
-
-timeout 3600 python scripts/probe_grid_step.py --out PROBE_GRID_STEP_r3.json \
-    2>&1 | tail -2
-echo "--- grid step A/B done $(date) ---"
 
 # plain 4x128 control at the same steps: the CPU mini A/B
 # (PSI_GRID_CPU_r3.jsonl) showed grids UNDERFITTING at short schedules, so
@@ -54,5 +40,21 @@ for arch in "4 128" "2 128"; do
         2>&1 | tail -4
     echo "--- grid ${1}x${2} row done $(date) ---"
 done
+
+timeout 3600 python scripts/probe_grid_kernel.py --out PROBE_GRID_r3.json \
+    2>&1 | tail -10
+echo "--- grid kernel probe done $(date) ---"
+
+timeout 3600 python scripts/probe_grid_hatbuild.py 2>&1 | tail -2 \
+    | tee PROBE_GRID_HATBUILD_r3.txt
+echo "--- hat-build probe done $(date) ---"
+
+timeout 3600 python scripts/probe_grid_step.py --out PROBE_GRID_STEP_r3.json \
+    2>&1 | tail -2
+echo "--- grid step A/B done $(date) ---"
+
+timeout 3600 python scripts/probe_grid_taps.py 2>&1 | tail -4 \
+    | tee PROBE_GRID_TAPS_r3.txt
+echo "--- tap-cost probe done $(date) ---"
 
 echo "=== queue7 done $(date) ==="
