@@ -142,6 +142,8 @@ def run_signature(steps, extra, seed):
                        'bound': float(val('--grid-bound', 1.3))}
         if '--grid-hat-mxu' in extra:
             sig['grid']['hat_mxu'] = True
+        if '--table-tv' in extra:
+            sig['grid']['table_tv'] = float(val('--table-tv', 0.0))
     if '--table-lr-mult' in extra or '--adam-eps' in extra:
         mult = float(val('--table-lr-mult', 1.0))
         eps = float(val('--adam-eps', 1e-8))

@@ -104,6 +104,10 @@ def main():
                         help='feature-grid table lr multiplier '
                              '(instant-NGP recipe: ~10x the MLP lr)')
     parser.add_argument('--adam-eps', type=float, default=1e-8)
+    parser.add_argument('--table-tv', type=float, default=0.0,
+                        help='total-variation penalty weight on feature-grid '
+                             'tables (the few-view smoothness prior; '
+                             'objective.py table_tv). 0 = off')
     parser.add_argument('--keep-best', action='store_true',
                         help='validate periodically (steps//8) and score the '
                              'best-held-out checkpoint (save_state_best) '
@@ -209,7 +213,8 @@ def main():
             'floor': args.occ_floor, 'warmup': 500, 'update_every': 16}
            if args.occupancy else None)
     run_dir = os.path.join(workdir, 'run')
-    loss_config = LossConfig(lambda_regularization=0.1, scaling_vmax=10.0)
+    loss_config = LossConfig(lambda_regularization=0.1, scaling_vmax=10.0,
+                             lambda_table_tv=args.table_tv)
     optim_config = OptimConfig(lr_start=1e-3, lr_end=1e-4,
                                lr_iterations=args.steps, lr_floor=1e-4,
                                table_lr_mult=args.table_lr_mult,
@@ -313,6 +318,9 @@ def main():
             # numerics-equivalent kernel strategy; recorded for provenance
             # but only when on, so default rows keep their signatures
             out['config']['grid']['hat_mxu'] = True
+        if args.table_tv:
+            # loss-changing: must differentiate the row signature
+            out['config']['grid']['table_tv'] = args.table_tv
     if (args.table_lr_mult, args.adam_eps) != (1.0, 1e-8):
         # recorded OUTSIDE the grid block: adam_eps changes the optimizer
         # for ALL params, and a non-grid eps-control row must not collapse

@@ -41,6 +41,18 @@ for arch in "4 128" "2 128"; do
     echo "--- grid ${1}x${2} row done $(date) ---"
 done
 
+# TV-regularized grid row: the CPU A/B measured a 5.3 dB train-test gap on
+# the grid config (table overfits the 14 training views); TV on the tables
+# is the standard few-view fix (objective.py table_tv)
+timeout 5400 python scripts/psi_protocol.py \
+    --proposal-coarse --n-stratified 24 --n-hierarchical 48 \
+    --model-layers 4 --model-filter 128 \
+    --grid-sizes 16 32 --table-lr-mult 10 --adam-eps 1e-15 \
+    --table-tv 1e-4 --steps 12500 --seed 7 \
+    --out PSI_GRID_r3.jsonl --data-cache /tmp/psi_scene_cache \
+    2>&1 | tail -4
+echo "--- grid TV row done $(date) ---"
+
 timeout 3600 python scripts/probe_grid_kernel.py --out PROBE_GRID_r3.json \
     2>&1 | tail -10
 echo "--- grid kernel probe done $(date) ---"

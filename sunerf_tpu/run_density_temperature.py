@@ -70,7 +70,8 @@ def main(argv=None):
     loss_config = LossConfig(
         lambda_image=config.get('lambda_image', 1.0),
         lambda_regularization=config.get('lambda_regularization', 1.0),
-        image_scaling='none')
+        image_scaling='none',
+        lambda_table_tv=config.get('lambda_table_tv', 0.0))
 
     trainer_config = TrainerConfig(
         total_steps=train_cfg.get('total_steps',

@@ -74,7 +74,8 @@ def main(argv=None):
         lambda_regularization=config.get('lambda_regularization', 1.0),
         image_scaling='asinh',
         scaling_vmax=scaling_cfg.get('vmax', 1.0),
-        scaling_a=scaling_cfg.get('a', 0.005))
+        scaling_a=scaling_cfg.get('a', 0.005),
+        lambda_table_tv=config.get('lambda_table_tv', 0.0))
 
     trainer_config = TrainerConfig(
         total_steps=train_cfg.get('total_steps',

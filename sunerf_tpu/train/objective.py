@@ -21,6 +21,12 @@ class LossConfig:
     image_scaling: str = 'asinh'   # 'asinh' (emission) | 'none' (DT)
     scaling_vmax: float = 1.0
     scaling_a: float = 0.005
+    # total-variation penalty on feature-grid tables (grid_* params):
+    # the standard few-view fix for grid encodings (Plenoxels/DVGO-style) —
+    # dense tables fit training views better than an MLP but generalize
+    # worse across views without a smoothness prior (measured: the CPU grid
+    # A/B's 5.3 dB train-test gap, RESULTS.md). 0.0 = off.
+    lambda_table_tv: float = 0.0
 
 
 def scale_image(config: LossConfig, image: jnp.ndarray) -> jnp.ndarray:
@@ -33,6 +39,24 @@ def scale_image(config: LossConfig, image: jnp.ndarray) -> jnp.ndarray:
 
 def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((a - b) ** 2)
+
+
+def table_tv(params: dict) -> jnp.ndarray:
+    """Mean squared finite difference over every feature-grid table in the
+    params pytree (keys starting with 'grid_', [G, G, G, F] — models/
+    fields.py), averaged over the 3 spatial axes and levels. Elementwise on
+    dense arrays: cheap on the VPU, no gathers."""
+    total, n = 0.0, 0
+    for sub in params.values():
+        if not isinstance(sub, dict):
+            continue
+        for k, t in sub.items():
+            if not k.startswith('grid_'):
+                continue
+            total = total + sum(jnp.mean(jnp.diff(t, axis=a) ** 2)
+                                for a in range(3)) / 3.0
+            n += 1
+    return total / n if n else jnp.asarray(0.0)
 
 
 def render_loss(config: LossConfig, outputs: dict,

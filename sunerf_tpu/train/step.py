@@ -18,7 +18,7 @@ from jax.sharding import PartitionSpec as P
 
 from sunerf_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
 from sunerf_tpu.rendering.renderer import Renderer
-from sunerf_tpu.train.objective import LossConfig, render_loss
+from sunerf_tpu.train.objective import LossConfig, render_loss, table_tv
 
 
 class TrainState(NamedTuple):
@@ -132,7 +132,13 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
         rays_o, rays_d = batch['rays'][:, 0], batch['rays'][:, 1]
         outputs = renderer(params, rays_o, rays_d, batch['time'], key=key,
                            wavelengths=batch.get('wavelength'))
-        return render_loss(loss_config, outputs, batch['target_image'])
+        loss, metrics = render_loss(loss_config, outputs,
+                                    batch['target_image'])
+        if loss_config.lambda_table_tv:
+            tv = table_tv(params)
+            loss = loss + loss_config.lambda_table_tv * tv
+            metrics = dict(metrics, loss=loss, table_tv=tv)
+        return loss, metrics
 
     if microbatch is None:
         grad_of_batch = jax.grad(single_loss_fn, has_aux=True)

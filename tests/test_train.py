@@ -287,3 +287,64 @@ def test_table_lr_mult_scales_only_grid_updates():
     np.testing.assert_allclose(up_mult['fine']['grid_0'],
                                10.0 * np.asarray(up_base['fine']['grid_0']),
                                rtol=1e-6)
+
+
+def test_table_tv_regularizer():
+    """LossConfig.lambda_table_tv: smoothness prior on grid tables only —
+    zero for constant tables, positive for rough ones, and the train step
+    adds it to the loss with a gradient that smooths the table."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.objective import LossConfig, table_tv
+    from sunerf_tpu.train.optim import make_optimizer
+    from sunerf_tpu.train.step import create_train_state, make_train_step
+
+    flat = {'fine': {'grid_0': jnp.zeros((4, 4, 4, 2))}}
+    assert float(table_tv(flat)) == 0.0
+    rough = {'fine': {'grid_0': jax.random.normal(jax.random.key(0),
+                                                  (4, 4, 4, 2))}}
+    assert float(table_tv(rough)) > 0.0
+    assert float(table_tv({'fine': {'w_in': jnp.ones((4, 4))}})) == 0.0
+
+    renderer, init = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32, n_freqs=2,
+                                     grid_sizes=(8,), grid_features=4,
+                                     grid_bound=1.3),
+        n_stratified=4, n_hierarchical=8, use_fused=False)
+    params = init(jax.random.key(0))
+    # roughen the table so the TV gradient is visibly nonzero
+    params['fine']['grid_0'] = jax.random.normal(
+        jax.random.key(1), params['fine']['grid_0'].shape)
+    optimizer = make_optimizer()
+    batch_size = 16
+    batch = {
+        'rays': jnp.stack([jnp.tile(jnp.asarray([[4.0, 0.0, 0.0]]),
+                                    (batch_size, 1)),
+                           jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]),
+                                    (batch_size, 1))], axis=1),
+        'time': jnp.zeros((batch_size, 1)),
+        'target_image': jnp.full((batch_size, 1), 0.05),
+    }
+    step = make_train_step(renderer, LossConfig(lambda_table_tv=1.0),
+                           optimizer, donate=False)
+    state = create_train_state(params, optimizer)
+    new_state, metrics = step(state, batch, jax.random.key(2))
+    tv0 = float(metrics['table_tv'])
+    assert tv0 > 0.0
+    # loss includes the penalty
+    base_step = make_train_step(renderer, LossConfig(), optimizer,
+                                donate=False)
+    _, base_metrics = base_step(create_train_state(params, optimizer),
+                                batch, jax.random.key(2))
+    assert float(metrics['loss']) > float(base_metrics['loss'])
+    # one step under a dominant TV weight smooths the table
+    strong = make_train_step(renderer, LossConfig(lambda_table_tv=1e4),
+                             optimizer, donate=False)
+    s = create_train_state(params, optimizer)
+    for _ in range(3):
+        s, m = strong(s, batch, jax.random.key(2))
+    assert float(table_tv(s.params)) < tv0
