@@ -348,3 +348,19 @@ def test_table_tv_regularizer():
     for _ in range(3):
         s, m = strong(s, batch, jax.random.key(2))
     assert float(table_tv(s.params)) < tv0
+
+    # composition with the fused kernel: the TV gradient (plain autodiff on
+    # the params) must ADD to the custom-vjp d_table contribution
+    renderer_f, init_f = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32, n_freqs=2,
+                                     grid_sizes=(8,), grid_features=4,
+                                     grid_bound=1.3),
+        n_stratified=4, n_hierarchical=8, use_fused=True)
+    step_f = make_train_step(renderer_f, LossConfig(lambda_table_tv=1.0),
+                             optimizer, donate=False)
+    params_f = init_f(jax.random.key(0))
+    params_f['fine'] = dict(params_f['fine'],
+                            grid_0=params['fine']['grid_0'])
+    _, mf = step_f(create_train_state(params_f, optimizer), batch,
+                   jax.random.key(2))
+    assert float(mf['table_tv']) > 0.0 and np.isfinite(float(mf['loss']))
