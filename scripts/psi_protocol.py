@@ -108,6 +108,18 @@ def main():
                         help='total-variation penalty weight on feature-grid '
                              'tables (the few-view smoothness prior; '
                              'objective.py table_tv). 0 = off')
+    parser.add_argument('--grid-coarse', action='store_true',
+                        help='attach the feature grid to the PROPOSAL '
+                             '(coarse) field instead of the fine field: the '
+                             'proposal only places samples, so table view-'
+                             'overfitting cannot corrupt held-out renders '
+                             '(overfit-fix option 3, RESULTS.md grid A/B). '
+                             'Requires --proposal-coarse and --grid-sizes.')
+    parser.add_argument('--ema-decay', type=float, default=0.0,
+                        help='Polyak parameter averaging decay (train/loop.py '
+                             'TrainerConfig.ema_decay): validation also '
+                             'scores the averaged variant and keep_best '
+                             'saves the better of live/EMA. 0 = off')
     parser.add_argument('--keep-best', action='store_true',
                         help='validate periodically (steps//8) and score the '
                              'best-held-out checkpoint (save_state_best) '
@@ -206,8 +218,18 @@ def main():
     data = build_single_channel_data(
         os.path.join(train_dir, '*.fits'),
         os.path.join(workdir, 'work'), batch_size=1024)
+    grid_kwargs = (dict(grid_sizes=tuple(args.grid_sizes),
+                        grid_features=args.grid_features,
+                        grid_bound=args.grid_bound,
+                        grid_hat_mxu=args.grid_hat_mxu)
+                   if args.grid_sizes else {})
+    if args.grid_coarse and not (args.proposal_coarse and args.grid_sizes):
+        parser.error('--grid-coarse requires --proposal-coarse and '
+                     '--grid-sizes')
+
     coarse = (emission_config(n_layers=args.coarse_layers,
-                              d_filter=args.coarse_filter)
+                              d_filter=args.coarse_filter,
+                              **(grid_kwargs if args.grid_coarse else {}))
               if args.proposal_coarse else None)
     occ = ({'enabled': True, 'threshold': args.occ_threshold,
             'floor': args.occ_floor, 'warmup': 500, 'update_every': 16}
@@ -220,17 +242,11 @@ def main():
                                table_lr_mult=args.table_lr_mult,
                                adam_eps=args.adam_eps)
 
-    grid_kwargs = (dict(grid_sizes=tuple(args.grid_sizes),
-                        grid_features=args.grid_features,
-                        grid_bound=args.grid_bound,
-                        grid_hat_mxu=args.grid_hat_mxu)
-                   if args.grid_sizes else {})
-
     def make_trainer(n_strat, n_hier, total_steps, phase_start=0):
         renderer, init = make_emission_system(
-            model_config=emission_config(n_layers=args.model_layers,
-                                         d_filter=args.model_filter,
-                                         **grid_kwargs),
+            model_config=emission_config(
+                n_layers=args.model_layers, d_filter=args.model_filter,
+                **({} if args.grid_coarse else grid_kwargs)),
             n_stratified=n_strat, n_hierarchical=n_hier,
             coarse_config=coarse, tier_fraction=args.tier_fraction,
             tier_samples=args.tier_samples, occupancy=occ)
@@ -243,6 +259,7 @@ def main():
                                                     if args.keep_best
                                                     else args.steps),
                                          keep_best=args.keep_best,
+                                         ema_decay=args.ema_decay,
                                          checkpoint_every=total_steps,
                                          # ~10 windows per PHASE so a short
                                          # anneal phase still contributes
@@ -321,6 +338,9 @@ def main():
         if args.table_tv:
             # loss-changing: must differentiate the row signature
             out['config']['grid']['table_tv'] = args.table_tv
+        if args.grid_coarse:
+            # which field carries the tables changes the model: signature key
+            out['config']['grid']['on'] = 'coarse'
     if (args.table_lr_mult, args.adam_eps) != (1.0, 1e-8):
         # recorded OUTSIDE the grid block: adam_eps changes the optimizer
         # for ALL params, and a non-grid eps-control row must not collapse
@@ -334,6 +354,9 @@ def main():
             'frac': args.anneal_frac,
             'n_stratified': args.anneal_stratified,
             'n_hierarchical': args.anneal_hierarchical}
+    if args.ema_decay:
+        # key absent when off: keeps non-EMA rows' signatures unchanged
+        out['config']['ema_decay'] = args.ema_decay
     if args.keep_best:
         # key absent when off: keeps final-step rows' signatures unchanged;
         # records which bundle was actually scored (best may be absent if

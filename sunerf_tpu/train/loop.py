@@ -61,6 +61,14 @@ class TrainerConfig:
     # re-rendered views DEGRADE (RESULTS.md architecture axis), so
     # last != best.
     keep_best: bool = False
+    # Polyak/EMA parameter averaging (train/step.py ema_params leaf): the
+    # CONTINUOUS counterpart to keep_best for the same measured failure mode
+    # (long-schedule small-field degradation, RESULTS.md arch axis).
+    # Validation additionally scores the averaged params (val_psnr_ema) and,
+    # under keep_best, the better of live/EMA wins the save_state_best
+    # bundle; save() writes a save_state_ema deployment variant.
+    # 0.0 = off (reference parity). Typical: 0.999.
+    ema_decay: float = 0.0
 
 
 class Trainer:
@@ -83,9 +91,11 @@ class Trainer:
             jax.config.update('jax_debug_nans', True)
 
         self.optimizer = make_optimizer(optim_config)
+        ema_decay = trainer_config.ema_decay or None
         self.step_fn = make_train_step(renderer, loss_config, self.optimizer,
                                        mesh=mesh, microbatch=microbatch,
-                                       spike_guard=spike_guard)
+                                       spike_guard=spike_guard,
+                                       ema_decay=ema_decay)
         self.eval_fn = make_eval_step(renderer, mesh=mesh)
         self._eval_many = self._make_eval_many()
         self.loss_config = loss_config
@@ -100,7 +110,8 @@ class Trainer:
             from sunerf_tpu.core.occupancy import init_occupancy
             params = dict(params, occupancy=init_occupancy(occ_cfg))
         self.state = create_train_state(params, self.optimizer,
-                                        spike_guard=spike_guard is not None)
+                                        spike_guard=spike_guard is not None,
+                                        ema=ema_decay is not None)
 
         restored = restore_train_checkpoint(workdir, self.state)
         if restored is not None:
@@ -364,9 +375,38 @@ class Trainer:
         if psnrs:
             val['val_psnr'] = float(np.mean(psnrs))
             val['val_ssim'] = float(np.mean(ssims))
+            # the candidate set for keep_best: live params, plus the
+            # EMA-averaged variant when enabled (TrainerConfig.ema_decay)
+            candidates = [('live', val['val_psnr'], params)]
+            if getattr(self.state, 'ema_params', None) is not None:
+                ema_host = jax.tree.map(np.asarray, self._ema_render_params())
+                fine_e, _, _, _ = self._eval_many(ema_host, chunked)
+                pred_e = np.asarray(fine_e).reshape(n_pad, -1)[:n]
+                if self.loss_config.image_scaling == 'asinh':
+                    pred_es = np.asarray(image_asinh_scaling(
+                        pred_e, self.loss_config.scaling_vmax,
+                        self.loss_config.scaling_a))
+                else:
+                    pred_es = pred_e
+                psnrs_e, ssims_e = [], []
+                for c in range(n_ch):
+                    t_img = target_s[:, c].reshape(h, w)
+                    if np.all(t_img == 0):
+                        continue
+                    p_img = pred_es[:, c].reshape(h, w)
+                    psnrs_e.append(psnr_metric(p_img, t_img))
+                    ssims_e.append(ssim_metric(
+                        p_img, t_img,
+                        data_range=float(t_img.max() - t_img.min() or 1)))
+                if psnrs_e:
+                    val['val_psnr_ema'] = float(np.mean(psnrs_e))
+                    val['val_ssim_ema'] = float(np.mean(ssims_e))
+                    candidates.append(('ema', val['val_psnr_ema'], ema_host))
+            best_name, best_score, best_params = max(candidates,
+                                                     key=lambda c: c[1])
             if self.config.keep_best and \
-                    val['val_psnr'] > self._best_psnr_high_water():
-                self._best_val_psnr = val['val_psnr']
+                    best_score > self._best_psnr_high_water():
+                self._best_val_psnr = best_score
                 config = dict(self.data.config)
                 if self.renderer.spec is not None:
                     config['renderer_spec'] = self.renderer.spec
@@ -374,12 +414,22 @@ class Trainer:
                 # same workdir (preemption resume, two-phase annealing)
                 # restores the high-water mark instead of clobbering the
                 # best bundle with its first validation
-                config['best_val_psnr'] = val['val_psnr']
+                config['best_val_psnr'] = best_score
+                config['best_variant'] = best_name
                 save_state(os.path.join(self.workdir, 'save_state_best'),
-                           jax.tree.map(np.asarray, self.state.params), config)
-                val['val_best_psnr'] = val['val_psnr']
+                           jax.tree.map(np.asarray, best_params), config)
+                val['val_best_psnr'] = best_score
         self.logger.log(val, step)
         return val
+
+    def _ema_render_params(self) -> dict:
+        """The EMA params with NON-learned leaves (the occupancy grid) taken
+        from the LIVE params: averaging the grid would lag the sampling
+        distribution rather than smooth the field."""
+        ema = dict(self.state.ema_params)
+        if 'occupancy' in ema and 'occupancy' in self.state.params:
+            ema['occupancy'] = self.state.params['occupancy']
+        return ema
 
     def _best_psnr_high_water(self) -> float:
         """Best held-out PSNR seen by ANY Trainer on this workdir: in-memory
@@ -440,3 +490,8 @@ class Trainer:
             config['renderer_spec'] = self.renderer.spec
         save_state(os.path.join(self.workdir, 'save_state'),
                    jax.tree.map(np.asarray, self.state.params), config)
+        if getattr(self.state, 'ema_params', None) is not None:
+            # smoothed deployment variant (TrainerConfig.ema_decay)
+            save_state(os.path.join(self.workdir, 'save_state_ema'),
+                       jax.tree.map(np.asarray, self._ema_render_params()),
+                       config)

@@ -33,10 +33,19 @@ class TrainState(NamedTuple):
     loss_ema: Optional[jnp.ndarray] = None
     snapshot: Optional[tuple] = None
     trip_count: Optional[jnp.ndarray] = None
+    # Polyak/EMA-averaged copy of params (None unless built with
+    # create_train_state(ema=True)): updated inside the jitted step
+    # (elementwise lerp — ~free next to the MLP FLOPs, one extra params
+    # copy of HBM), evaluated/saved as the smoothed deployment variant.
+    # Counter-measure for the measured long-schedule degradation of small
+    # fields (RESULTS.md architecture axis: training-ray overfit while
+    # re-rendered views degrade — the continuous counterpart to keep_best).
+    ema_params: Optional[dict] = None
 
 
 def create_train_state(params: dict, optimizer: optax.GradientTransformation,
-                       spike_guard: bool = False) -> TrainState:
+                       spike_guard: bool = False,
+                       ema: bool = False) -> TrainState:
     opt_state = optimizer.init(params)
     # the snapshot must not ALIAS params/opt_state buffers: the jitted step
     # donates the whole state, and donating the same buffer through two tree
@@ -48,7 +57,8 @@ def create_train_state(params: dict, optimizer: optax.GradientTransformation,
         step=jnp.asarray(0, jnp.int32),
         loss_ema=jnp.asarray(-1.0, jnp.float32),
         snapshot=snap,
-        trip_count=jnp.asarray(0, jnp.int32) if spike_guard else None)
+        trip_count=jnp.asarray(0, jnp.int32) if spike_guard else None,
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None)
 
 
 def _guarded_update(optimizer, state: TrainState, grads, loss,
@@ -100,11 +110,24 @@ def _guarded_update(optimizer, state: TrainState, grads, loss,
     return params, opt_state, new_ema, snapshot, tripped.astype(jnp.float32)
 
 
+def _ema_update(state: TrainState, params, ema_decay: Optional[float]):
+    """One Polyak step of the averaged params toward the (post-guard) update.
+    Non-learned leaves (the occupancy grid) get averaged too, harmlessly —
+    the Trainer substitutes the LIVE grid when rendering/saving the EMA
+    variant, since a lagged occupancy grid would change SAMPLING, not just
+    smooth the field."""
+    if ema_decay is None or state.ema_params is None:
+        return state.ema_params
+    return jax.tree.map(lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                        state.ema_params, params)
+
+
 def make_train_step(renderer: Renderer, loss_config: LossConfig,
                     optimizer: optax.GradientTransformation,
                     mesh=None, donate: bool = True,
                     microbatch: Optional[int] = None,
-                    spike_guard: Optional[float] = None):
+                    spike_guard: Optional[float] = None,
+                    ema_decay: Optional[float] = None):
     """Build the jitted train step.
 
     Args:
@@ -120,6 +143,9 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
             last healthy snapshot (see _guarded_update). Metrics gain
             'update_skipped' (0/1) when enabled. Requires states built with
             create_train_state(..., spike_guard=True) (snapshot leaf).
+        ema_decay: optional Polyak decay d: after each (post-guard) update,
+            ema <- d * ema + (1-d) * params. Requires states built with
+            create_train_state(..., ema=True) (ema_params leaf).
 
     Returns:
         step_fn(state, batch, key) -> (state, metrics). batch keys: rays
@@ -187,7 +213,8 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
                 metrics = dict(metrics, update_skipped=tripped,
                                spike_trips=trips.astype(jnp.float32))
             return TrainState(params, opt_state, state.step + 1, ema,
-                              snap, trips), metrics
+                              snap, trips,
+                              _ema_update(state, params, ema_decay)), metrics
 
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -220,7 +247,8 @@ def make_train_step(renderer: Renderer, loss_config: LossConfig,
             metrics = dict(metrics, update_skipped=tripped,
                            spike_trips=trips.astype(jnp.float32))
         return TrainState(params, opt_state, state.step + 1, ema,
-                          snap, trips), metrics
+                          snap, trips,
+                          _ema_update(state, params, ema_decay)), metrics
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)

@@ -53,7 +53,8 @@ def restore_train_checkpoint(workdir: str, target: TrainState) -> TrainState | N
     Tolerates spike-guard state mismatches in either direction: a checkpoint
     without loss_ema/snapshot leaves restores into a guard-on target (guard
     state re-initialized from the target), and a guard-on checkpoint restores
-    into a guard-off target (guard state dropped)."""
+    into a guard-off target (guard state dropped). The Polyak ema_params leaf
+    is tolerated the same way in both directions."""
     path = latest_checkpoint(workdir)
     if path is None:
         return None
@@ -76,6 +77,14 @@ def restore_train_checkpoint(workdir: str, target: TrainState) -> TrainState | N
             trip_count=np.asarray(0, np.int32))
         candidates.append(guard_on)
         candidates.append(guard_on._replace(trip_count=None))
+    # ema_params toggling is orthogonal to the guard leaves: for every
+    # guard-shaped candidate also try the OPPOSITE ema shape (pre-ema or
+    # ema-off checkpoints into ema-on targets, and vice versa — ema_params
+    # mirrors the params structure exactly)
+    candidates += [
+        cand._replace(ema_params=(None if cand.ema_params is not None
+                                  else jax.tree.map(np.copy, cand.params)))
+        for cand in candidates]
     restored, errors = None, []
     for cand in candidates:
         try:
@@ -108,6 +117,15 @@ def restore_train_checkpoint(workdir: str, target: TrainState) -> TrainState | N
             loss_ema=np.asarray(-1.0, np.float32),
             snapshot=(jax.tree.map(np.copy, restored.params),
                       jax.tree.map(np.copy, restored.opt_state)))
+    if target.ema_params is None:
+        restored = restored._replace(ema_params=None)
+    elif restored.ema_params is t_np.ema_params:
+        # ema-off (or legacy) checkpoint restored into an ema-on run: the
+        # fill above came from the target's FRESH-INIT params; restart the
+        # average from the restored params instead (copied — the jitted step
+        # donates the state, and aliasing two leaves is an XLA error)
+        restored = restored._replace(
+            ema_params=jax.tree.map(np.copy, restored.params))
     return jax.tree.map(lambda t, r: jax.numpy.asarray(r, t.dtype) if hasattr(t, 'dtype') else r,
                         target, restored)
 

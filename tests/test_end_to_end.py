@@ -190,6 +190,82 @@ def test_keep_best_checkpoint(rendered_views, tmp_path):
     assert trainer2._best_psnr_high_water() == max(bests)
 
 
+def test_ema_averaging_end_to_end(rendered_views, tmp_path):
+    """TrainerConfig.ema_decay: validation scores the averaged variant
+    (val_psnr_ema), save() writes a save_state_ema deployment bundle that
+    loads and renders, keep_best records which variant won, and the ema
+    leaf survives a resume (the continuous counterpart to keep_best for the
+    long-schedule small-field degradation, RESULTS.md arch axis)."""
+    tmp_path_renders, config, _ = rendered_views
+
+    from sunerf_tpu.data.loaders import build_single_channel_data
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig
+
+    data = build_single_channel_data(
+        str(tmp_path_renders / 'renders' / 'aia' / '193' / '*.fits'),
+        str(tmp_path / 'work'), batch_size=128)
+    renderer, init = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32),
+        n_stratified=8, n_hierarchical=8)
+    workdir = str(tmp_path / 'run')
+
+    def make_trainer(total_steps):
+        return Trainer(
+            renderer, init, data,
+            loss_config=LossConfig(scaling_vmax=10.0),
+            optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+            trainer_config=TrainerConfig(total_steps=total_steps, val_every=10,
+                                         checkpoint_every=20, log_every=10,
+                                         save_val_images=False, keep_best=True,
+                                         ema_decay=0.9),
+            workdir=workdir)
+
+    trainer = make_trainer(20)
+    trainer.fit()
+
+    # the averaged variant was scored at every validation
+    import json
+    with open(os.path.join(workdir, 'metrics.jsonl')) as f:
+        recs = [json.loads(line) for line in f]
+    emas = [r for r in recs if 'val_psnr_ema' in r]
+    assert emas, 'no EMA validation scores logged'
+    assert all(np.isfinite(r['val_psnr_ema']) and np.isfinite(r['val_ssim_ema'])
+               for r in emas)
+
+    # the smoothed deployment bundle exists, differs from the live bundle,
+    # and renders like any other
+    ema_bundle = os.path.join(workdir, 'save_state_ema')
+    assert os.path.exists(ema_bundle + '.npz')
+    live = np.load(os.path.join(workdir, 'save_state.npz'))
+    ema = np.load(ema_bundle + '.npz')
+    assert set(live.files) == set(ema.files)
+    assert any(not np.array_equal(live[k], ema[k]) for k in live.files), \
+        'EMA bundle is byte-identical to the live bundle'
+    loader = SuNeRFLoader(ema_bundle, batch_size=256)
+    view = loader.render_observer_image(lat=0.1, lon=0.3, time=0.0,
+                                        distance=215.0, resolution=8)
+    assert np.all(np.isfinite(view.image))
+
+    # keep_best arbitration records which variant won the best bundle
+    with open(os.path.join(workdir, 'save_state_best.json')) as f:
+        best_cfg = json.load(f)
+    assert best_cfg['best_variant'] in ('live', 'ema')
+
+    # resume: the ema leaf survives the checkpoint round trip
+    trainer2 = make_trainer(25)
+    assert int(trainer2.state.step) == 20
+    assert trainer2.state.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.state.ema_params['fine']['w_in']),
+        np.asarray(trainer.state.ema_params['fine']['w_in']))
+    trainer2.fit()
+    assert int(trainer2.state.step) == 25
+
+
 def test_budget_anneal_handoff(rendered_views, tmp_path):
     """Budget annealing (scripts/psi_protocol.py --anneal-frac): a warm phase
     at one sample budget hands off to a second Trainer at a cheaper budget

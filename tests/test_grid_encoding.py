@@ -189,6 +189,54 @@ def test_grid_composes_with_tiers_and_proposal():
     assert bool(jnp.all(jnp.isfinite(out['image'])))
 
 
+def test_grid_on_proposal_field_only():
+    """Grid tables on the PROPOSAL (coarse) field with a plain fine field
+    (psi_protocol --grid-coarse, overfit-fix option 3): the coarse field
+    only places samples, so table view-overfitting cannot corrupt held-out
+    renders. A train step updates the coarse tables (the table-lr path and
+    TV loss find them by key name anywhere in the tree), and the plain fine
+    field carries no tables."""
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.objective import LossConfig, table_tv
+    from sunerf_tpu.train.optim import OptimConfig, make_optimizer
+    from sunerf_tpu.train.step import create_train_state, make_train_step
+
+    fine = emission_config(n_layers=2, d_filter=32, n_freqs=4)
+    coarse = emission_config(n_layers=2, d_filter=32, n_freqs=4,
+                             grid_sizes=(8,), grid_features=4, grid_bound=1.3)
+    renderer, init = make_emission_system(
+        model_config=fine, coarse_config=coarse,
+        n_stratified=8, n_hierarchical=8)
+    params = init(jax.random.key(0))
+    assert 'grid_0' in params['coarse'] and 'grid_0' not in params['fine']
+    # the TV prior sees the coarse tables
+    assert float(table_tv(params)) > 0.0
+
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3,
+                                           table_lr_mult=10.0,
+                                           adam_eps=1e-15))
+    step = make_train_step(renderer,
+                           LossConfig(lambda_regularization=0.0,
+                                      lambda_table_tv=1e-3),
+                           optimizer, donate=False)
+    state = create_train_state(params, optimizer)
+    rays_o = jnp.tile(jnp.asarray([[4.0, 0.0, 0.0]]), (16, 1))
+    dirs = (jnp.asarray([[-1.0, 0.0, 0.0]])
+            + 0.05 * jax.random.normal(jax.random.key(2), (16, 3)))
+    batch = {'rays': jnp.stack([rays_o,
+                                dirs / jnp.linalg.norm(dirs, axis=-1,
+                                                       keepdims=True)],
+                               axis=1),
+             'time': jnp.zeros((16, 1)),
+             'target_image': jnp.full((16, 1), 0.05)}
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics['loss']))
+    assert 'table_tv' in metrics
+    moved = not np.array_equal(np.asarray(state.params['coarse']['grid_0']),
+                               np.asarray(new_state.params['coarse']['grid_0']))
+    assert moved, 'coarse grid tables did not update'
+
+
 def test_grid_composes_with_dt_head():
     """Grid-encoded density-temperature field: aux params (log_abs, vol_c)
     coexist with grid tables through the fused path."""

@@ -210,6 +210,78 @@ def test_spike_guard_unlatches_after_regime_shift():
     assert moved, 'params never updated in the new regime'
 
 
+def test_ema_params_exact_lerp():
+    """ema_decay: the ema_params leaf is the exact Polyak lerp of itself
+    toward the post-update params each step, seeded from a copy of the init
+    params (train/step.py _ema_update)."""
+    renderer, params, batch = _tiny_setup()
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3))
+    step = make_train_step(renderer, LossConfig(lambda_regularization=0.0),
+                           optimizer, ema_decay=0.9, donate=False)
+    state = create_train_state(params, optimizer, ema=True)
+    s1, _ = step(state, batch, jax.random.key(0))
+    s2, _ = step(s1, batch, jax.random.key(0))
+
+    def check(prev_ema, new_params, new_ema):
+        expect = jax.tree.map(lambda e, p: 0.9 * e + 0.1 * p,
+                              prev_ema, new_params)
+        for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(new_ema)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    check(params, s1.params, s1.ema_params)
+    check(s1.ema_params, s2.params, s2.ema_params)
+    # the average lags the live params (it is not aliasing them)
+    diff = any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(s2.params),
+                               jax.tree.leaves(s2.ema_params)))
+    assert diff, 'ema_params tracked the live params exactly'
+
+
+def test_checkpoint_restores_across_ema_settings(tmp_path):
+    """Checkpoints survive toggling EMA averaging between runs, in both
+    directions (the ema_params leaf mirrors the guard-leaf tolerance)."""
+    from sunerf_tpu.utils.checkpoint import (restore_train_checkpoint,
+                                             save_train_checkpoint)
+
+    renderer, params, batch = _tiny_setup()
+    optimizer = make_optimizer()
+
+    # ema-off checkpoint -> ema-on target: average restarts from the
+    # RESTORED params, not the target's fresh init
+    off = create_train_state(params, optimizer)
+    step = make_train_step(renderer, LossConfig(), optimizer, donate=False)
+    off, _ = step(off, batch, jax.random.key(0))
+    save_train_checkpoint(str(tmp_path / 'a'), off)
+    on_target = create_train_state(params, optimizer, ema=True)
+    restored = restore_train_checkpoint(str(tmp_path / 'a'), on_target)
+    assert int(restored.step) == 1
+    assert restored.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params['fine']['w_in']),
+        np.asarray(off.params['fine']['w_in']))
+
+    # ema-on checkpoint -> ema-off target: the leaf is dropped
+    estep = make_train_step(renderer, LossConfig(), optimizer,
+                            ema_decay=0.9, donate=False)
+    on = create_train_state(params, optimizer, ema=True)
+    on, _ = estep(on, batch, jax.random.key(0))
+    save_train_checkpoint(str(tmp_path / 'b'), on)
+    off_target = create_train_state(params, optimizer)
+    restored = restore_train_checkpoint(str(tmp_path / 'b'), off_target)
+    assert int(restored.step) == 1
+    assert restored.ema_params is None
+    np.testing.assert_array_equal(np.asarray(restored.params['fine']['w_in']),
+                                  np.asarray(on.params['fine']['w_in']))
+
+    # ema-on checkpoint -> ema-on target: the average itself round-trips
+    on_target2 = create_train_state(params, optimizer, ema=True)
+    restored = restore_train_checkpoint(str(tmp_path / 'b'), on_target2)
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params['fine']['w_in']),
+        np.asarray(on.ema_params['fine']['w_in']))
+
+
 def test_genx_reader_roundtrip():
     from sunerf_tpu.data.genx import read_genx
     d = read_genx('/root/reference/sunerf/data/aia_temp_resp.genx')
