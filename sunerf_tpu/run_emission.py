@@ -86,7 +86,8 @@ def main(argv=None):
                                        train_cfg.get('log_every_n_steps', 10_000)),
         log_every=train_cfg.get('scalar_log_every', 100),
         debug_nans=train_cfg.get('debug_nans', False),
-        keep_best=train_cfg.get('keep_best', False))
+        keep_best=train_cfg.get('keep_best', False),
+        ema_decay=train_cfg.get('ema_decay', 0.0))
 
     logger = MetricsLogger(workdir, project=log_cfg.get('project'),
                            name=log_cfg.get('name'),
