@@ -93,6 +93,14 @@ def main():
                              'subsidize a much smaller MLP '
                              '(ops/grid_encoding.py); empty = off')
     parser.add_argument('--grid-features', type=int, default=8)
+    parser.add_argument('--grid-rank', type=int, default=0,
+                        help='>0 switches the grid levels to TensoRF-style '
+                             'VM factorization of this rank (3 plane x line '
+                             'products per level, ops/grid_encoding.py '
+                             'vm_encode) — the low-rank smoothness prior '
+                             'candidate for the dense tables: measured '
+                             'view overfitting. XLA field path (no fused '
+                             'kernel yet). 0 = dense tables')
     parser.add_argument('--grid-hat-mxu', action='store_true',
                         help='fused-kernel hat build via constant-expansion '
                              'MXU matmuls (numerics-equivalent; timing A/B: '
@@ -221,7 +229,8 @@ def main():
     grid_kwargs = (dict(grid_sizes=tuple(args.grid_sizes),
                         grid_features=args.grid_features,
                         grid_bound=args.grid_bound,
-                        grid_hat_mxu=args.grid_hat_mxu)
+                        grid_hat_mxu=args.grid_hat_mxu,
+                        grid_rank=args.grid_rank)
                    if args.grid_sizes else {})
     if args.grid_coarse and not (args.proposal_coarse and args.grid_sizes):
         parser.error('--grid-coarse requires --proposal-coarse and '
@@ -338,6 +347,10 @@ def main():
         if args.table_tv:
             # loss-changing: must differentiate the row signature
             out['config']['grid']['table_tv'] = args.table_tv
+        if args.grid_rank:
+            # factorization changes the model: signature key (absent for
+            # dense rows so earlier signatures are unchanged)
+            out['config']['grid']['rank'] = args.grid_rank
         if args.grid_coarse:
             # which field carries the tables changes the model: signature key
             out['config']['grid']['on'] = 'coarse'

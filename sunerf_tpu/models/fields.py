@@ -67,6 +67,13 @@ class NeRFConfig:
     grid_sizes: tuple = ()
     grid_features: int = 8
     grid_bound: float = 2.0
+    # >0 switches every grid level to a TensoRF-style VM factorization of
+    # rank R (ops/grid_encoding.py vm_encode): 3 plane x line products per
+    # level, 3R features each, G^2-scaling params — the low-rank smoothness
+    # prior candidate for the dense tables' measured view overfitting
+    # (RESULTS.md grid A/B). grid_features is ignored when set. XLA path
+    # only for now (systems._select_apply falls back from the fused kernel).
+    grid_rank: int = 0
     # fused-kernel hat-build strategy (numerics-equivalent up to bf16
     # rounding): True expands per-axis hat rows onto the pair/feature
     # column layouts with constant 0/1 MXU matmuls instead of building
@@ -82,6 +89,8 @@ class NeRFConfig:
 
     @property
     def d_grid(self) -> int:
+        if self.grid_rank:
+            return len(self.grid_sizes) * 3 * self.grid_rank
         return len(self.grid_sizes) * self.grid_features
 
     @property
@@ -117,9 +126,16 @@ def init_nerf(key: jax.Array, config: NeRFConfig) -> dict:
         params['log_abs'] = jnp.full((len(AIA_WAVELENGTHS),), 1e-6, jnp.float32)
         params['vol_c'] = jnp.asarray(1.0, jnp.float32)
     for i, g in enumerate(config.grid_sizes):
-        from sunerf_tpu.ops.grid_encoding import grid_table_init
-        params[f'grid_{i}'] = grid_table_init(
-            keys[n_hidden + 2 + i], g, config.grid_features)
+        if config.grid_rank:
+            from sunerf_tpu.ops.grid_encoding import vm_init
+            planes, lines = vm_init(keys[n_hidden + 2 + i], g,
+                                    config.grid_rank)
+            params[f'grid_planes_{i}'] = planes
+            params[f'grid_lines_{i}'] = lines
+        else:
+            from sunerf_tpu.ops.grid_encoding import grid_table_init
+            params[f'grid_{i}'] = grid_table_init(
+                keys[n_hidden + 2 + i], g, config.grid_features)
     return params
 
 
@@ -142,10 +158,17 @@ def nerf_apply(config: NeRFConfig, params: dict, points: jnp.ndarray) -> FieldOu
     x = positional_encoding(points, config.n_freqs, config.scale_factor,
                             n_freqs_time=config.n_freqs_time)
     if config.grid_sizes:
-        from sunerf_tpu.ops.grid_encoding import grid_encode
-        feats = [grid_encode(params[f'grid_{i}'], points,
-                             bound=config.grid_bound, precision=prec)
-                 for i in range(len(config.grid_sizes))]
+        if config.grid_rank:
+            from sunerf_tpu.ops.grid_encoding import vm_encode
+            feats = [vm_encode(params[f'grid_planes_{i}'],
+                               params[f'grid_lines_{i}'], points,
+                               bound=config.grid_bound, precision=prec)
+                     for i in range(len(config.grid_sizes))]
+        else:
+            from sunerf_tpu.ops.grid_encoding import grid_encode
+            feats = [grid_encode(params[f'grid_{i}'], points,
+                                 bound=config.grid_bound, precision=prec)
+                     for i in range(len(config.grid_sizes))]
         x = jnp.concatenate([x] + feats, axis=-1)
     h = jnp.sin(jnp.dot(x, params['w_in'], precision=prec) + params['b_in'])
 

@@ -109,6 +109,110 @@ def grid_encode(table: jnp.ndarray, points: jnp.ndarray,
     return out.reshape(n_pad, features)[:n]
 
 
+# --- TensoRF-style vector-matrix (VM) factorized tables -------------------
+#
+# Low-rank alternative to the dense tables above (Chen et al. 2022, TensoRF):
+# the field's spatial features are a sum over 3 plane x line products,
+#
+#   feats_o[n, r] = Plane_o[a(n), b(n), r] * Line_o[c(n), r]
+#
+# for the 3 axis orientations o in {(yz|x), (zx|y), (xy|z)}, output
+# concatenated to [N, 3R]. TPU-shaped for the same reason as grid_encode:
+# bilinear plane taps become one MXU contraction with separable hat rows
+# (wab [N, G^2] @ plane [(a b), R]) and line taps a small [N, G] @ [G, R]
+# matmul — no gathers. Per point: 3 * 2*G^2*R MXU FLOPs (G=32, R=16:
+# 98 kFLOP — ~5x cheaper than the dense 32^3 x 8 table) with G^2-scaling
+# params (3*(G^2+G)*R ~ 49k vs dense G^3*F 262k at G=32): the low-rank
+# structure is itself a smoothness prior, the candidate fix for the dense
+# tables' measured view overfitting (RESULTS.md grid A/B).
+
+def vm_init(key: jax.Array, grid_size: int, rank: int,
+            scale: float = 0.1) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(planes [3, G, G, R], lines [3, G, R]), N(0, scale) init (TensoRF's
+    recipe — near-zero UNIFORM init would strangle the product's gradients:
+    d/d plane ~ line and vice versa, so both factors need O(0.1) magnitude)."""
+    kp, kl = jax.random.split(key)
+    planes = scale * jax.random.normal(
+        kp, (3, grid_size, grid_size, rank), jnp.float32)
+    lines = scale * jax.random.normal(kl, (3, grid_size, rank), jnp.float32)
+    return planes, lines
+
+
+# per orientation: (plane axis a, plane axis b, line axis c) as coordinate
+# COLUMN indices (x=0, y=1, z=2); plane row-major layout is [a, b, r]
+_VM_AXES = ((1, 2, 0), (2, 0, 1), (0, 1, 2))
+
+
+def _vm_encode_block(planes2d, lines, w, grid_size: int, rank: int,
+                     precision) -> jnp.ndarray:
+    """w: 3-tuple of [C, G] per-axis hats -> [C, 3R]."""
+    outs = []
+    for o, (a, b, c) in enumerate(_VM_AXES):
+        wab = (w[a][:, :, None] * w[b][:, None, :]).reshape(w[0].shape[0], -1)
+        p = jnp.matmul(wab, planes2d[o], precision=precision)      # [C, R]
+        l = jnp.matmul(w[c], lines[o], precision=precision)        # [C, R]
+        outs.append(p * l)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def vm_encode(planes: jnp.ndarray, lines: jnp.ndarray, points: jnp.ndarray,
+              bound: float = 2.0, precision=None,
+              chunk: Optional[int] = 8192) -> jnp.ndarray:
+    """Factorized features from VM tables (vm_init layout).
+
+    Args:
+        planes: [3, G, G, R] per-orientation plane tables.
+        lines: [3, G, R] per-orientation line tables.
+        points: [N, >=3] query points (first 3 columns = x, y, z).
+        bound: half-extent in world units, as in grid_encode.
+        chunk: point-chunk size bounding the [chunk, G^2] wab intermediate.
+
+    Returns:
+        [N, 3R] features, differentiable in tables and points.
+    """
+    grid_size, rank = planes.shape[1], planes.shape[-1]
+    planes2d = planes.reshape(3, grid_size * grid_size, rank)
+    n = points.shape[0]
+    u = (points[:, :3] / bound + 1.0) * (0.5 * (grid_size - 1))
+    u = jnp.clip(u, 0.0, float(grid_size - 1))
+
+    def block(uc):
+        w = tuple(_hat_weights(uc[:, i], grid_size, planes.dtype)
+                  for i in range(3))
+        return _vm_encode_block(planes2d, lines, w, grid_size, rank,
+                                precision)
+
+    if chunk is None or n <= chunk:
+        return block(u)
+    n_pad = (n + chunk - 1) // chunk * chunk
+    u = jnp.pad(u, ((0, n_pad - n), (0, 0)))
+    out = jax.lax.map(block, u.reshape(-1, chunk, 3))
+    return out.reshape(n_pad, 3 * rank)[:n]
+
+
+def vm_encode_ref(planes: jnp.ndarray, lines: jnp.ndarray,
+                  points: jnp.ndarray, bound: float = 2.0) -> jnp.ndarray:
+    """Gather-based oracle: textbook bilinear plane taps x linear line taps
+    per orientation. Test/CPU only (gathers)."""
+    grid_size, rank = planes.shape[1], planes.shape[-1]
+    u = (points[:, :3] / bound + 1.0) * (0.5 * (grid_size - 1))
+    u = jnp.clip(u, 0.0, float(grid_size - 1))
+    lo = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, grid_size - 2)
+    frac = u - lo
+    outs = []
+    for o, (a, b, c) in enumerate(_VM_AXES):
+        p = jnp.zeros((points.shape[0], rank), planes.dtype)
+        for da in (0, 1):
+            for db in (0, 1):
+                w = ((frac[:, a] if da else 1 - frac[:, a])
+                     * (frac[:, b] if db else 1 - frac[:, b]))
+                p = p + w[:, None] * planes[o, lo[:, a] + da, lo[:, b] + db]
+        l = ((1 - frac[:, c])[:, None] * lines[o, lo[:, c]]
+             + frac[:, c][:, None] * lines[o, lo[:, c] + 1])
+        outs.append(p * l)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def grid_encode_ref(table: jnp.ndarray, points: jnp.ndarray,
                     bound: float = 2.0) -> jnp.ndarray:
     """Gather-based trilinear interpolation oracle (8 corner lookups per

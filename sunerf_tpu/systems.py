@@ -23,6 +23,12 @@ def _select_apply(config: NeRFConfig, use_fused: Optional[bool]):
     overrides the auto-detection."""
     if use_fused is None:
         use_fused = jax.default_backend() == 'tpu'
+    if use_fused and config.grid_rank:
+        # the fused kernel supports DENSE grid tables only; VM-factorized
+        # levels (grid_rank) run the XLA path — the contraction is pure
+        # matmuls, so XLA's own fusion carries it (kernel support is a
+        # probe-gated follow-up, ROADMAP)
+        use_fused = False
     if use_fused:
         # compute_dpts=False: the renderer stop_gradients its sample points
         # (they are data / detached resamples), so the stashing backward can

@@ -43,9 +43,11 @@ def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def table_tv(params: dict) -> jnp.ndarray:
     """Mean squared finite difference over every feature-grid table in the
-    params pytree (keys starting with 'grid_', [G, G, G, F] — models/
-    fields.py), averaged over the 3 spatial axes and levels. Elementwise on
-    dense arrays: cheap on the VPU, no gathers."""
+    params pytree (keys starting with 'grid_' — models/fields.py), averaged
+    over the spatial axes and levels. Key-dispatched shapes: dense tables
+    [G, G, G, F] (spatial axes 0-2), VM planes [3, G, G, R] (axes 1-2,
+    axis 0 indexes orientations), VM lines [3, G, R] (axis 1). Elementwise
+    on dense arrays: cheap on the VPU, no gathers."""
     total, n = 0.0, 0
     for sub in params.values():
         if not isinstance(sub, dict):
@@ -53,8 +55,14 @@ def table_tv(params: dict) -> jnp.ndarray:
         for k, t in sub.items():
             if not k.startswith('grid_'):
                 continue
+            if k.startswith('grid_planes_'):
+                axes = (1, 2)
+            elif k.startswith('grid_lines_'):
+                axes = (1,)
+            else:
+                axes = (0, 1, 2)
             total = total + sum(jnp.mean(jnp.diff(t, axis=a) ** 2)
-                                for a in range(3)) / 3.0
+                                for a in axes) / len(axes)
             n += 1
     return total / n if n else jnp.asarray(0.0)
 

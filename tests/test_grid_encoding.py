@@ -251,3 +251,155 @@ def test_grid_composes_with_dt_head():
                              interpret=True)
     assert fused.log_abs is not None and fused.vol_c is not None
     assert float(jnp.max(jnp.abs(ref.raw - fused.raw))) < 0.05
+
+
+# ------------------------------------- TensoRF-style VM factorized tables
+
+def _vm_tables(key, g, r):
+    kp, kl = jax.random.split(jax.random.key(key))
+    planes = jax.random.normal(kp, (3, g, g, r))
+    lines = jax.random.normal(kl, (3, g, r))
+    return planes, lines
+
+
+@pytest.mark.parametrize('grid_size,rank', [(8, 4), (16, 8), (5, 2)])
+def test_vm_matches_gather_oracle(grid_size, rank):
+    from sunerf_tpu.ops.grid_encoding import vm_encode, vm_encode_ref
+    planes, lines = _vm_tables(0, grid_size, rank)
+    pts = jax.random.uniform(jax.random.key(1), (257, 3),
+                             minval=-2.0, maxval=2.0)
+    got = vm_encode(planes, lines, pts, bound=2.0, precision=HI)
+    want = vm_encode_ref(planes, lines, pts, bound=2.0)
+    assert got.shape == (257, 3 * rank)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_vm_cell_centers_return_products():
+    """At exact cell centers the hats are one-hot: features must equal
+    plane[a, b] * line[c] per orientation (axes x=0, y=1, z=2)."""
+    from sunerf_tpu.ops.grid_encoding import vm_encode
+    g, r = 6, 3
+    planes, lines = _vm_tables(2, g, r)
+    idx = jnp.array([[0, 0, 0], [2, 3, 1], [5, 5, 5]])
+    pts = (idx / (g - 1) * 2.0 - 1.0) * 1.5
+    got = vm_encode(planes, lines, pts, bound=1.5, precision=HI)
+    ix, iy, iz = idx[:, 0], idx[:, 1], idx[:, 2]
+    want = jnp.concatenate([
+        planes[0, iy, iz] * lines[0, ix],       # (yz | x)
+        planes[1, iz, ix] * lines[1, iy],       # (zx | y)
+        planes[2, ix, iy] * lines[2, iz],       # (xy | z)
+    ], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_vm_chunked_and_extra_columns():
+    from sunerf_tpu.ops.grid_encoding import vm_encode
+    planes, lines = _vm_tables(3, 12, 4)
+    pts = jax.random.uniform(jax.random.key(4), (1000, 3),
+                             minval=-2.0, maxval=2.0)
+    full = vm_encode(planes, lines, pts, precision=HI, chunk=None)
+    chunked = vm_encode(planes, lines, pts, precision=HI, chunk=256)
+    np.testing.assert_allclose(full, chunked, rtol=1e-6, atol=1e-7)
+    pts4 = jnp.concatenate([pts, jnp.ones((1000, 1))], axis=-1)
+    np.testing.assert_allclose(
+        vm_encode(planes, lines, pts4, precision=HI), full,
+        rtol=1e-6, atol=1e-7)
+
+
+def test_vm_gradients_match_oracle():
+    from sunerf_tpu.ops.grid_encoding import vm_encode, vm_encode_ref
+    g, r = 6, 3
+    planes, lines = _vm_tables(5, g, r)
+    pts = jax.random.uniform(jax.random.key(6), (97, 3), minval=-2, maxval=2)
+    cot = jax.random.normal(jax.random.key(7), (97, 3 * r))
+
+    def loss(fn, p, l):
+        return jnp.sum(fn(p, l, pts, 2.0) * cot)
+
+    got = jax.grad(lambda p, l: loss(
+        lambda p_, l_, pt, b: vm_encode(p_, l_, pt, bound=b, precision=HI),
+        p, l), argnums=(0, 1))(planes, lines)
+    want = jax.grad(lambda p, l: loss(vm_encode_ref, p, l),
+                    argnums=(0, 1))(planes, lines)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_vm_field_integration_and_train_step():
+    """grid_rank config: d_encoded grows by 3R per level, init creates
+    plane/line leaves, nerf_apply runs, the table-lr recipe and TV prior
+    reach the factors, and a train step moves them."""
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.objective import LossConfig, table_tv
+    from sunerf_tpu.train.optim import OptimConfig, make_optimizer
+    from sunerf_tpu.train.step import create_train_state, make_train_step
+
+    config = emission_config(n_layers=2, d_filter=32, n_freqs=4,
+                             grid_sizes=(8, 16), grid_rank=4, grid_bound=1.3)
+    base = emission_config(n_layers=2, d_filter=32, n_freqs=4)
+    assert config.d_encoded == base.d_encoded + 2 * 3 * 4
+    params = init_nerf(jax.random.key(0), config)
+    assert params['grid_planes_0'].shape == (3, 8, 8, 4)
+    assert params['grid_lines_1'].shape == (3, 16, 4)
+    assert 'grid_0' not in params
+    pts = jax.random.uniform(jax.random.key(1), (16, 4), minval=-1, maxval=1)
+    out = nerf_apply(config, params, pts)
+    assert out.raw.shape == (16, 2)
+    assert float(table_tv({'fine': params})) > 0.0
+
+    renderer, init = make_emission_system(
+        model_config=config, n_stratified=8, n_hierarchical=8)
+    sys_params = init(jax.random.key(0))
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3,
+                                           table_lr_mult=10.0,
+                                           adam_eps=1e-15))
+    step = make_train_step(renderer,
+                           LossConfig(lambda_regularization=0.0,
+                                      lambda_table_tv=1e-3),
+                           optimizer, donate=False)
+    state = create_train_state(sys_params, optimizer)
+    rays_o = jnp.tile(jnp.asarray([[4.0, 0.0, 0.0]]), (16, 1))
+    dirs = (jnp.asarray([[-1.0, 0.0, 0.0]])
+            + 0.05 * jax.random.normal(jax.random.key(2), (16, 3)))
+    batch = {'rays': jnp.stack([rays_o,
+                                dirs / jnp.linalg.norm(dirs, axis=-1,
+                                                       keepdims=True)],
+                               axis=1),
+             'time': jnp.zeros((16, 1)),
+             'target_image': jnp.full((16, 1), 0.05)}
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics['loss']))
+    for leaf in ('grid_planes_0', 'grid_lines_0'):
+        moved = not np.array_equal(np.asarray(state.params['fine'][leaf]),
+                                   np.asarray(new_state.params['fine'][leaf]))
+        assert moved, f'{leaf} did not update'
+
+
+def test_vm_system_falls_back_from_fused_and_round_trips(tmp_path):
+    """use_fused=True with grid_rank must select the XLA path (the fused
+    kernel has no VM support) and the spec/save_state round trip preserves
+    the factorized config."""
+    import os
+    from sunerf_tpu.evaluation.loader import SuNeRFLoader
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.utils.checkpoint import save_state
+
+    config = emission_config(n_layers=2, d_filter=32, n_freqs=4,
+                             grid_sizes=(8,), grid_rank=4, grid_bound=1.3)
+    renderer, init = make_emission_system(model_config=config,
+                                          n_stratified=8, n_hierarchical=8,
+                                          use_fused=True)
+    params = init(jax.random.key(0))
+    rays_o = jnp.tile(jnp.asarray([[4.0, 0.0, 0.0]]), (8, 1))
+    rays_d = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (8, 1))
+    out = renderer(params, rays_o, rays_d, jnp.zeros((8, 1)))
+    assert bool(jnp.all(jnp.isfinite(out['image'])))
+
+    bundle = os.path.join(str(tmp_path), 'save_state')
+    save_state(bundle, jax.tree.map(np.asarray, params),
+               {'renderer_spec': renderer.spec})
+    loader = SuNeRFLoader(bundle, batch_size=64)
+    assert loader.renderer.spec['model_config']['grid_rank'] == 4
+    view = loader.render_observer_image(lat=0.1, lon=0.3, time=0.0,
+                                        distance=215.0, resolution=8)
+    assert np.all(np.isfinite(view.image))
