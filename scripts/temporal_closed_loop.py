@@ -88,6 +88,14 @@ def main():
     parser.add_argument('--steps', type=int, default=4000)
     parser.add_argument('--resolution', type=int, default=128)
     parser.add_argument('--workdir', default=None)
+    # HexPlane-style 4-D factorized grid on the field (fields.py grid_time):
+    # --grid-size 32 --grid-rank 16 --grid-time 8 adds low-rank space-time
+    # tables spanning the [0, 1] normalized training window, with the NGP
+    # optimizer recipe the tables require (RESULTS.md capacity A/B).
+    parser.add_argument('--grid-size', type=int, default=0)
+    parser.add_argument('--grid-rank', type=int, default=16)
+    parser.add_argument('--grid-time', type=int, default=8)
+    parser.add_argument('--table-tv', type=float, default=0.0)
     args = parser.parse_args()
 
     import jax
@@ -129,12 +137,25 @@ def main():
         os.path.join(train_dir, 'aia', '193', '*.fits'),
         os.path.join(workdir, 'work'), batch_size=1024)
 
+    grid_kwargs, optim_kwargs, tv = {}, {}, {}
+    if args.grid_size:
+        # training times are normalized to [0, 1] (frames at f/(F-1) model
+        # days, ref_time = the first frame) — the tplane window matches
+        grid_kwargs = dict(grid_sizes=(args.grid_size,),
+                           grid_rank=args.grid_rank,
+                           grid_time=args.grid_time,
+                           grid_time_range=(0.0, 1.0), grid_bound=1.3)
+        optim_kwargs = dict(table_lr_mult=10.0, adam_eps=1e-15)
+        tv = dict(lambda_table_tv=args.table_tv) if args.table_tv else {}
+
     renderer, init = make_emission_system(
-        model_config=emission_config(n_freqs_time=2))
+        model_config=emission_config(n_freqs_time=2, **grid_kwargs))
     trainer = Trainer(
         renderer, init, data,
-        loss_config=LossConfig(lambda_regularization=0.1, scaling_vmax=10.0),
-        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+        loss_config=LossConfig(lambda_regularization=0.1, scaling_vmax=10.0,
+                               **tv),
+        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3,
+                                 **optim_kwargs),
         # the flat-1e-3 recipe sits on an Adam+sine knife edge: one spike
         # step can collapse the run for good (RESULTS.md stability note).
         # k=10: the observed collapse spike is ~200x while normal batch-loss
@@ -191,6 +212,9 @@ def main():
 
     print(json.dumps({
         'frames': F, 'views_per_time': V, 'steps': args.steps,
+        **({'grid': {'size': args.grid_size, 'rank': args.grid_rank,
+                     'time': args.grid_time, 'table_tv': args.table_tv}}
+           if args.grid_size else {}),
         'rays_per_sec': float(np.median(rates[1:] or rates)),
         'spatial_val_psnr': round(spatial['val_psnr'], 2),
         'spatial_val_ssim': round(spatial['val_ssim'], 4),

@@ -74,6 +74,14 @@ class NeRFConfig:
     # (RESULTS.md grid A/B). grid_features is ignored when set. XLA path
     # only for now (systems._select_apply falls back from the fused kernel).
     grid_rank: int = 0
+    # >0 (with grid_rank) extends every VM level to a HexPlane-style 4-D
+    # factorization (ops/grid_encoding.py vm_encode_time): each line table
+    # becomes a [G, grid_time, R] (axis, time) plane spanning
+    # grid_time_range in model time, so temporal evolution is carried by
+    # low-rank table rows rather than only the sin/cos time bands. 0 = the
+    # static vm_encode. XLA path only (as grid_rank).
+    grid_time: int = 0
+    grid_time_range: tuple = (0.0, 1.0)
     # fused-kernel hat-build strategy (numerics-equivalent up to bf16
     # rounding): True expands per-axis hat rows onto the pair/feature
     # column layouts with constant 0/1 MXU matmuls instead of building
@@ -86,6 +94,13 @@ class NeRFConfig:
         # into lists; coerce so the config stays hashable for jit closure
         if not isinstance(self.grid_sizes, tuple):
             object.__setattr__(self, 'grid_sizes', tuple(self.grid_sizes))
+        if not isinstance(self.grid_time_range, tuple):
+            object.__setattr__(self, 'grid_time_range',
+                               tuple(self.grid_time_range))
+        if self.grid_time and not self.grid_rank:
+            raise ValueError('grid_time requires grid_rank > 0 (temporal '
+                             'levels are HexPlane-factorized; a dense 4-D '
+                             'table is not implemented)')
 
     @property
     def d_grid(self) -> int:
@@ -126,7 +141,13 @@ def init_nerf(key: jax.Array, config: NeRFConfig) -> dict:
         params['log_abs'] = jnp.full((len(AIA_WAVELENGTHS),), 1e-6, jnp.float32)
         params['vol_c'] = jnp.asarray(1.0, jnp.float32)
     for i, g in enumerate(config.grid_sizes):
-        if config.grid_rank:
+        if config.grid_rank and config.grid_time:
+            from sunerf_tpu.ops.grid_encoding import vm_time_init
+            planes, tplanes = vm_time_init(keys[n_hidden + 2 + i], g,
+                                           config.grid_time, config.grid_rank)
+            params[f'grid_planes_{i}'] = planes
+            params[f'grid_tplanes_{i}'] = tplanes
+        elif config.grid_rank:
             from sunerf_tpu.ops.grid_encoding import vm_init
             planes, lines = vm_init(keys[n_hidden + 2 + i], g,
                                     config.grid_rank)
@@ -158,7 +179,15 @@ def nerf_apply(config: NeRFConfig, params: dict, points: jnp.ndarray) -> FieldOu
     x = positional_encoding(points, config.n_freqs, config.scale_factor,
                             n_freqs_time=config.n_freqs_time)
     if config.grid_sizes:
-        if config.grid_rank:
+        if config.grid_rank and config.grid_time:
+            from sunerf_tpu.ops.grid_encoding import vm_encode_time
+            feats = [vm_encode_time(params[f'grid_planes_{i}'],
+                                    params[f'grid_tplanes_{i}'], points,
+                                    bound=config.grid_bound,
+                                    t_range=config.grid_time_range,
+                                    precision=prec)
+                     for i in range(len(config.grid_sizes))]
+        elif config.grid_rank:
             from sunerf_tpu.ops.grid_encoding import vm_encode
             feats = [vm_encode(params[f'grid_planes_{i}'],
                                params[f'grid_lines_{i}'], points,

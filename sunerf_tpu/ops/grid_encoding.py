@@ -190,6 +190,131 @@ def vm_encode(planes: jnp.ndarray, lines: jnp.ndarray, points: jnp.ndarray,
     return out.reshape(n_pad, 3 * rank)[:n]
 
 
+# --- HexPlane-style 4-D (time) factorization ------------------------------
+#
+# Temporal extension of the VM tables (Cao & Johnson 2023, HexPlane;
+# Fridovich-Keil et al. 2023, K-Planes): each orientation's LINE table
+# [G, R] becomes a (axis, time) PLANE [G, T, R], so the per-orientation
+# product pairs a spatial plane with a spatio-temporal one,
+#
+#   feats_o[n, r] = Plane_o[a(n), b(n), r] * TPlane_o[c(n), t(n), r]
+#
+# and the field's temporal evolution is carried by low-rank table rows
+# rather than (only) the sin/cos time bands. TPU-shaped identically to
+# vm_encode: the time tap is one more separable one-hot contraction
+# (wct [N, G*T] @ tplane [(c t), R]) — no gathers, T extra columns on the
+# MXU. Params 3*G*(G + T)*R; per point 2*G*(G + T)*R*3 FLOPs.
+#
+# No reference counterpart (the reference's only time machinery is the
+# posenc t band, model.py:92-132); this extends the beyond-reference 4-D
+# capability (RESULTS.md temporal closed loop) with grid-level capacity.
+
+def vm_time_init(key: jax.Array, grid_size: int, time_size: int, rank: int,
+                 scale: float = 0.1) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(planes [3, G, G, R], tplanes [3, G, T, R]) — vm_init's N(0, scale)
+    recipe (both factors of a product need O(0.1) magnitude for gradients)."""
+    kp, kt = jax.random.split(key)
+    planes = scale * jax.random.normal(
+        kp, (3, grid_size, grid_size, rank), jnp.float32)
+    tplanes = scale * jax.random.normal(
+        kt, (3, grid_size, time_size, rank), jnp.float32)
+    return planes, tplanes
+
+
+def _time_coord(points: jnp.ndarray, time_size: int,
+                t_range: tuple) -> jnp.ndarray:
+    """[N] continuous time-cell coords from points[:, 3], mapping t_range
+    onto [0, T-1] (clamped — observations outside the configured window pin
+    to the boundary row, matching the spatial clamp semantics)."""
+    t0, t1 = float(t_range[0]), float(t_range[1])
+    ut = (points[:, 3] - t0) / max(t1 - t0, 1e-12) * (time_size - 1)
+    return jnp.clip(ut, 0.0, float(time_size - 1))
+
+
+def vm_encode_time(planes: jnp.ndarray, tplanes: jnp.ndarray,
+                   points: jnp.ndarray, bound: float = 2.0,
+                   t_range: tuple = (0.0, 1.0), precision=None,
+                   chunk: Optional[int] = 8192) -> jnp.ndarray:
+    """HexPlane features from (planes, tplanes) (vm_time_init layout).
+
+    Args:
+        planes: [3, G, G, R] per-orientation spatial plane tables.
+        tplanes: [3, G, T, R] per-orientation (axis, time) plane tables.
+        points: [N, 4] query points (x, y, z, t).
+        bound: spatial half-extent in world units, as in grid_encode.
+        t_range: (t_min, t_max) world-time window the T rows span.
+        chunk: point-chunk size bounding the [chunk, G^2] intermediates.
+
+    Returns:
+        [N, 3R] features, differentiable in both tables and points.
+    """
+    grid_size, rank = planes.shape[1], planes.shape[-1]
+    time_size = tplanes.shape[2]
+    planes2d = planes.reshape(3, grid_size * grid_size, rank)
+    tplanes2d = tplanes.reshape(3, grid_size * time_size, rank)
+    n = points.shape[0]
+    u = (points[:, :3] / bound + 1.0) * (0.5 * (grid_size - 1))
+    u = jnp.clip(u, 0.0, float(grid_size - 1))
+    ut = _time_coord(points, time_size, t_range)
+
+    def block(uc):
+        u3, u1 = uc[:, :3], uc[:, 3]
+        w = tuple(_hat_weights(u3[:, i], grid_size, planes.dtype)
+                  for i in range(3))
+        wt = _hat_weights(u1, time_size, planes.dtype)          # [C, T]
+        outs = []
+        for o, (a, b, c) in enumerate(_VM_AXES):
+            wab = (w[a][:, :, None] * w[b][:, None, :]).reshape(
+                u3.shape[0], -1)
+            wct = (w[c][:, :, None] * wt[:, None, :]).reshape(
+                u3.shape[0], -1)
+            p = jnp.matmul(wab, planes2d[o], precision=precision)   # [C, R]
+            q = jnp.matmul(wct, tplanes2d[o], precision=precision)  # [C, R]
+            outs.append(p * q)
+        return jnp.concatenate(outs, axis=-1)
+
+    uall = jnp.concatenate([u, ut[:, None]], axis=-1)
+    if chunk is None or n <= chunk:
+        return block(uall)
+    n_pad = (n + chunk - 1) // chunk * chunk
+    uall = jnp.pad(uall, ((0, n_pad - n), (0, 0)))
+    out = jax.lax.map(block, uall.reshape(-1, chunk, 4))
+    return out.reshape(n_pad, 3 * rank)[:n]
+
+
+def vm_encode_time_ref(planes: jnp.ndarray, tplanes: jnp.ndarray,
+                       points: jnp.ndarray, bound: float = 2.0,
+                       t_range: tuple = (0.0, 1.0)) -> jnp.ndarray:
+    """Gather-based oracle for vm_encode_time: textbook bilinear taps on both
+    the spatial (a, b) and the spatio-temporal (c, t) planes. Test/CPU only."""
+    grid_size, rank = planes.shape[1], planes.shape[-1]
+    time_size = tplanes.shape[2]
+    u = (points[:, :3] / bound + 1.0) * (0.5 * (grid_size - 1))
+    u = jnp.clip(u, 0.0, float(grid_size - 1))
+    ut = _time_coord(points, time_size, t_range)
+    lo = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, grid_size - 2)
+    frac = u - lo
+    tlo = jnp.clip(jnp.floor(ut).astype(jnp.int32), 0, max(time_size - 2, 0))
+    tfrac = ut - tlo
+    outs = []
+    for o, (a, b, c) in enumerate(_VM_AXES):
+        p = jnp.zeros((points.shape[0], rank), planes.dtype)
+        for da in (0, 1):
+            for db in (0, 1):
+                w = ((frac[:, a] if da else 1 - frac[:, a])
+                     * (frac[:, b] if db else 1 - frac[:, b]))
+                p = p + w[:, None] * planes[o, lo[:, a] + da, lo[:, b] + db]
+        q = jnp.zeros((points.shape[0], rank), planes.dtype)
+        for dc in (0, 1):
+            for dt in (0, 1):
+                ti = jnp.minimum(tlo + dt, time_size - 1)
+                w = ((frac[:, c] if dc else 1 - frac[:, c])
+                     * (tfrac if dt else 1 - tfrac))
+                q = q + w[:, None] * tplanes[o, lo[:, c] + dc, ti]
+        outs.append(p * q)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def vm_encode_ref(planes: jnp.ndarray, lines: jnp.ndarray,
                   points: jnp.ndarray, bound: float = 2.0) -> jnp.ndarray:
     """Gather-based oracle: textbook bilinear plane taps x linear line taps

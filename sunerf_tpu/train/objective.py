@@ -55,8 +55,8 @@ def table_tv(params: dict) -> jnp.ndarray:
         for k, t in sub.items():
             if not k.startswith('grid_'):
                 continue
-            if k.startswith('grid_planes_'):
-                axes = (1, 2)
+            if k.startswith('grid_planes_') or k.startswith('grid_tplanes_'):
+                axes = (1, 2)  # tplanes: axis 2 is time — temporal smoothness
             elif k.startswith('grid_lines_'):
                 axes = (1,)
             else:

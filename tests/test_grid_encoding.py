@@ -375,6 +375,183 @@ def test_vm_field_integration_and_train_step():
         assert moved, f'{leaf} did not update'
 
 
+# ------------------------------- HexPlane-style 4-D (time) factorization
+
+def _vm_time_tables(key, g, t, r):
+    kp, kt = jax.random.split(jax.random.key(key))
+    planes = jax.random.normal(kp, (3, g, g, r))
+    tplanes = jax.random.normal(kt, (3, g, t, r))
+    return planes, tplanes
+
+
+def _pts4(key, n, t_lo=0.0, t_hi=1.0):
+    k1, k2 = jax.random.split(jax.random.key(key))
+    xyz = jax.random.uniform(k1, (n, 3), minval=-2.0, maxval=2.0)
+    t = jax.random.uniform(k2, (n, 1), minval=t_lo, maxval=t_hi)
+    return jnp.concatenate([xyz, t], axis=-1)
+
+
+@pytest.mark.parametrize('grid_size,time_size,rank', [(8, 4, 4), (16, 6, 8),
+                                                      (5, 2, 2)])
+def test_vm_time_matches_gather_oracle(grid_size, time_size, rank):
+    from sunerf_tpu.ops.grid_encoding import vm_encode_time, \
+        vm_encode_time_ref
+    planes, tplanes = _vm_time_tables(0, grid_size, time_size, rank)
+    pts = _pts4(1, 257, t_lo=-0.5, t_hi=1.5)  # includes out-of-range times
+    got = vm_encode_time(planes, tplanes, pts, bound=2.0,
+                         t_range=(0.0, 1.0), precision=HI)
+    want = vm_encode_time_ref(planes, tplanes, pts, bound=2.0,
+                              t_range=(0.0, 1.0))
+    assert got.shape == (257, 3 * rank)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_vm_time_constant_tplane_reduces_to_static_vm():
+    """tplanes constant along the time axis == the static vm_encode with
+    those rows as lines, at every query time (the time tap interpolates
+    between identical rows)."""
+    from sunerf_tpu.ops.grid_encoding import vm_encode, vm_encode_time
+    g, t, r = 8, 5, 4
+    planes, _ = _vm_time_tables(2, g, t, r)
+    lines = jax.random.normal(jax.random.key(3), (3, g, r))
+    tplanes = jnp.broadcast_to(lines[:, :, None, :], (3, g, t, r))
+    pts = _pts4(4, 130)
+    got = vm_encode_time(planes, tplanes, pts, bound=2.0,
+                         t_range=(0.0, 1.0), precision=HI)
+    want = vm_encode(planes, lines, pts, bound=2.0, precision=HI)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_vm_time_cell_centers_return_products():
+    """At exact spatial AND temporal cell centers the hats are one-hot:
+    features must equal plane[a, b] * tplane[c, t] per orientation."""
+    from sunerf_tpu.ops.grid_encoding import vm_encode_time
+    g, t, r = 6, 4, 3
+    planes, tplanes = _vm_time_tables(5, g, t, r)
+    idx = jnp.array([[0, 0, 0], [2, 3, 1], [5, 5, 5]])
+    tidx = jnp.array([0, 2, 3])
+    pts = jnp.concatenate([(idx / (g - 1) * 2.0 - 1.0) * 1.5,
+                           (tidx / (t - 1))[:, None]], axis=-1)
+    got = vm_encode_time(planes, tplanes, pts, bound=1.5,
+                         t_range=(0.0, 1.0), precision=HI)
+    ix, iy, iz = idx[:, 0], idx[:, 1], idx[:, 2]
+    want = jnp.concatenate([
+        planes[0, iy, iz] * tplanes[0, ix, tidx],       # (yz | x t)
+        planes[1, iz, ix] * tplanes[1, iy, tidx],       # (zx | y t)
+        planes[2, ix, iy] * tplanes[2, iz, tidx],       # (xy | z t)
+    ], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_vm_time_chunked_and_range_clamp():
+    from sunerf_tpu.ops.grid_encoding import vm_encode_time
+    planes, tplanes = _vm_time_tables(6, 12, 4, 4)
+    pts = _pts4(7, 1000, t_lo=2.0, t_hi=6.0)
+    full = vm_encode_time(planes, tplanes, pts, t_range=(2.0, 6.0),
+                          precision=HI, chunk=None)
+    chunked = vm_encode_time(planes, tplanes, pts, t_range=(2.0, 6.0),
+                             precision=HI, chunk=256)
+    np.testing.assert_allclose(full, chunked, rtol=1e-6, atol=1e-7)
+    # times far outside the window clamp to the boundary rows
+    at_edge = pts.at[:, 3].set(6.0)
+    beyond = pts.at[:, 3].set(50.0)
+    np.testing.assert_allclose(
+        vm_encode_time(planes, tplanes, at_edge, t_range=(2.0, 6.0),
+                       precision=HI),
+        vm_encode_time(planes, tplanes, beyond, t_range=(2.0, 6.0),
+                       precision=HI), rtol=1e-6)
+
+
+def test_vm_time_gradients_match_oracle():
+    from sunerf_tpu.ops.grid_encoding import vm_encode_time, \
+        vm_encode_time_ref
+    g, t, r = 6, 4, 3
+    planes, tplanes = _vm_time_tables(8, g, t, r)
+    pts = _pts4(9, 97)
+    cot = jax.random.normal(jax.random.key(10), (97, 3 * r))
+
+    def loss(fn, p, tp):
+        return jnp.sum(fn(p, tp, pts) * cot)
+
+    got = jax.grad(lambda p, tp: loss(
+        lambda p_, tp_, pt: vm_encode_time(p_, tp_, pt, bound=2.0,
+                                           precision=HI),
+        p, tp), argnums=(0, 1))(planes, tplanes)
+    want = jax.grad(lambda p, tp: loss(
+        lambda p_, tp_, pt: vm_encode_time_ref(p_, tp_, pt, bound=2.0),
+        p, tp), argnums=(0, 1))(planes, tplanes)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_time_field_integration_and_train_step():
+    """grid_time config: requires grid_rank, d_encoded unchanged vs static
+    VM (3R per level either way), init creates tplane leaves spanning
+    grid_time_range, the field responds to the TIME coordinate, the TV
+    prior and table-lr recipe reach the tplanes, and a train step moves
+    them. Spec round-trips with the list->tuple coercion."""
+    import dataclasses
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.objective import LossConfig, table_tv
+    from sunerf_tpu.train.optim import OptimConfig, make_optimizer
+    from sunerf_tpu.train.step import create_train_state, make_train_step
+
+    with pytest.raises(ValueError):
+        emission_config(grid_sizes=(8,), grid_time=4)  # no grid_rank
+
+    config = emission_config(n_layers=2, d_filter=32, n_freqs=4,
+                             grid_sizes=(8,), grid_rank=4, grid_time=4,
+                             grid_bound=1.3, grid_time_range=(0.0, 2.0),
+                             precision='highest')
+    static = emission_config(n_layers=2, d_filter=32, n_freqs=4,
+                             grid_sizes=(8,), grid_rank=4)
+    assert config.d_encoded == static.d_encoded
+    params = init_nerf(jax.random.key(0), config)
+    assert params['grid_tplanes_0'].shape == (3, 8, 4, 4)
+    assert 'grid_lines_0' not in params
+    # the field must RESPOND to time through the tables alone: same spatial
+    # points at two times differ
+    xyz = jax.random.uniform(jax.random.key(1), (16, 3), minval=-1, maxval=1)
+    p0 = jnp.concatenate([xyz, jnp.zeros((16, 1))], axis=-1)
+    p1 = jnp.concatenate([xyz, jnp.full((16, 1), 2.0)], axis=-1)
+    r0, r1 = nerf_apply(config, params, p0), nerf_apply(config, params, p1)
+    assert float(jnp.max(jnp.abs(r0.raw - r1.raw))) > 0.0
+    assert float(table_tv({'fine': params})) > 0.0
+
+    # spec round trip (JSON turns tuples into lists)
+    spec = dataclasses.asdict(config)
+    spec['grid_time_range'] = list(spec['grid_time_range'])
+    rt = NeRFConfig(**spec)
+    assert rt == config and hash(rt) == hash(config)
+
+    renderer, init = make_emission_system(
+        model_config=config, n_stratified=8, n_hierarchical=8)
+    sys_params = init(jax.random.key(0))
+    optimizer = make_optimizer(OptimConfig(lr_start=1e-3, lr_floor=1e-3,
+                                           table_lr_mult=10.0,
+                                           adam_eps=1e-15))
+    step = make_train_step(renderer,
+                           LossConfig(lambda_regularization=0.0,
+                                      lambda_table_tv=1e-3),
+                           optimizer, donate=False)
+    state = create_train_state(sys_params, optimizer)
+    rays_o = jnp.tile(jnp.asarray([[4.0, 0.0, 0.0]]), (16, 1))
+    dirs = (jnp.asarray([[-1.0, 0.0, 0.0]])
+            + 0.05 * jax.random.normal(jax.random.key(2), (16, 3)))
+    batch = {'rays': jnp.stack([rays_o,
+                                dirs / jnp.linalg.norm(dirs, axis=-1,
+                                                       keepdims=True)],
+                               axis=1),
+             'time': jnp.full((16, 1), 0.7),
+             'target_image': jnp.full((16, 1), 0.05)}
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics['loss']))
+    moved = not np.array_equal(
+        np.asarray(state.params['fine']['grid_tplanes_0']),
+        np.asarray(new_state.params['fine']['grid_tplanes_0']))
+    assert moved, 'tplanes did not update'
+
+
 def test_vm_system_falls_back_from_fused_and_round_trips(tmp_path):
     """use_fused=True with grid_rank must select the XLA path (the fused
     kernel has no VM support) and the spec/save_state round trip preserves
