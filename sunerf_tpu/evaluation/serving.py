@@ -1,0 +1,244 @@
+"""Portable serving export: hermetic StableHLO render artifacts.
+
+`export_serving` compiles the full render path (coarse -> hierarchical ->
+fine quadrature) of a trained deployment bundle into a single versioned
+StableHLO module via `jax.export`, with the trained weights baked in as
+constants and lowerings for BOTH cpu and tpu embedded. The resulting
+`.shlo` artifact is self-contained: any JAX runtime within the export
+compatibility window can execute it on either platform WITHOUT the
+sunerf_tpu package, the model code, or the original Python environment.
+
+Reference counterpart: none — the reference deploys by unpickling a torch
+Lightning checkpoint into a live Python model stack
+(/root/reference/sunerf/evaluation/loader.py:16-70), which ties serving to
+the exact training codebase. This is the TPU-native production-serving
+answer: one traced program, static shapes, XLA-compiled on load.
+
+Design notes (TPU-first):
+- Fixed batch size per artifact (default 4096 rays). Static shapes are the
+  TPU contract; `ServingModel` pads/chunks arbitrary ray counts.
+- Exported from the XLA path (use_fused=False): the fused Pallas kernel is
+  a TRAINING-path optimization (its win is the stashing backward); the
+  forward-only render is MXU-bound either way, and the XLA path lowers
+  portably to every platform.
+- Deterministic quadrature (key=None -> midpoint sampling), the inference
+  contract the evaluation loaders use.
+"""
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from datetime import datetime
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+_BLOB_NAME = 'render.stablehlo'
+_META_NAME = 'meta.json'
+
+
+def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
+                   platforms: Sequence[str] = ('cpu', 'tpu'),
+                   render_overrides: Optional[dict] = None) -> dict:
+    """Export a deployment bundle (save_state npz+json) to a serving artifact.
+
+    Args:
+        state_path: bundle path as accepted by `load_state`.
+        out_path: output `.shlo` artifact path (a zip container).
+        batch_size: rays per call; the artifact's static batch shape.
+        platforms: lowering platforms to embed ('cpu', 'tpu', 'cuda').
+        render_overrides: optional render-section overrides (e.g. a full
+            sample budget for a model trained at a reduced one), as in
+            `SuNeRFLoader`.
+
+    Returns:
+        The artifact metadata dict (also stored inside the artifact).
+    """
+    from jax import export as jax_export
+
+    from sunerf_tpu.systems import from_spec
+    from sunerf_tpu.utils.checkpoint import load_state
+
+    params, config = load_state(state_path)
+    spec = config.get('renderer_spec')
+    if spec is None:
+        raise ValueError(f'{state_path} carries no renderer_spec')
+    if render_overrides:
+        spec = dict(spec,
+                    render=dict(spec.get('render', {}), **render_overrides))
+    renderer, _ = from_spec(spec, use_fused=False)
+
+    wavelengths = config.get('wavelengths')
+    n_ch = len(wavelengths) if wavelengths else 0
+
+    def render_fn(rays_o, rays_d, times, wl):
+        out = renderer(params, rays_o, rays_d, times, key=None,
+                       wavelengths=wl)
+        return out['image'], out['height_map'], out['absorption_map']
+
+    sh = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32)
+    exported = jax_export.export(jax.jit(render_fn), platforms=list(platforms))(
+        sh(batch_size, 3), sh(batch_size, 3), sh(batch_size, 1),
+        sh(batch_size, n_ch))
+
+    meta = {
+        'format_version': FORMAT_VERSION,
+        'batch_size': int(batch_size),
+        'platforms': list(exported.platforms),
+        'n_channels': n_ch,
+        'wavelengths': wavelengths,
+        'ref_time': config.get('ref_time'),
+        'seconds_per_dt': config.get('seconds_per_dt', 86400.0),
+        'Rs_per_ds': config.get('Rs_per_ds', 1.0),
+        'renderer_spec': spec,
+        'jax_version': jax.__version__,
+        'calling_convention_version': exported.calling_convention_version,
+    }
+    with zipfile.ZipFile(out_path, 'w', zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_META_NAME, json.dumps(meta, indent=1))
+        zf.writestr(_BLOB_NAME, exported.serialize())
+    return meta
+
+
+class ServingModel:
+    """Execute a `.shlo` serving artifact: pad/chunk arbitrary ray counts
+    through the fixed-batch exported program.
+
+    Needs only jax + numpy — deliberately imports nothing from sunerf_tpu at
+    render time (geometry helpers are used by `render_observer_image` as a
+    convenience; `__call__` is dependency-free).
+    """
+
+    def __init__(self, path: str):
+        from jax import export as jax_export
+
+        with zipfile.ZipFile(path) as zf:
+            self.meta = json.loads(zf.read(_META_NAME))
+            blob = zf.read(_BLOB_NAME)
+        if self.meta.get('format_version', 0) > FORMAT_VERSION:
+            raise ValueError(
+                f'artifact format v{self.meta["format_version"]} is newer '
+                f'than this runtime (v{FORMAT_VERSION})')
+        self._exported = jax_export.deserialize(blob)
+        self.batch_size = int(self.meta['batch_size'])
+        self.n_channels = int(self.meta['n_channels'])
+        # one jitted chunk program; XLA compiles per platform on first call
+        self._call = jax.jit(self._exported.call)
+
+    @property
+    def wavelengths(self):
+        return self.meta.get('wavelengths')
+
+    def __call__(self, rays_o, rays_d, times,
+                 wavelengths=None) -> dict:
+        """Render [N] rays -> dict(image [N, C], height_map [N],
+        absorption_map [N]); N arbitrary (padded to the artifact batch)."""
+        rays_o = np.asarray(rays_o, np.float32).reshape(-1, 3)
+        rays_d = np.asarray(rays_d, np.float32).reshape(-1, 3)
+        times = np.asarray(times, np.float32).reshape(-1, 1)
+        n = rays_o.shape[0]
+        if wavelengths is None:
+            wl = np.zeros((n, self.n_channels), np.float32)
+            if self.n_channels:
+                wl[:] = np.asarray(self.meta['wavelengths'], np.float32)
+        else:
+            wl = np.broadcast_to(
+                np.asarray(wavelengths, np.float32),
+                (n, self.n_channels)).astype(np.float32)
+
+        bs = self.batch_size
+        n_pad = (n + bs - 1) // bs * bs
+        pad = n_pad - n
+
+        def padded(x):
+            return np.pad(x, ((0, pad), (0, 0))) if pad else x
+
+        imgs, hms, ams = [], [], []
+        for i in range(0, n_pad, bs):
+            img, hm, am = self._call(
+                jnp.asarray(padded(rays_o)[i:i + bs]),
+                jnp.asarray(padded(rays_d)[i:i + bs]),
+                jnp.asarray(padded(times)[i:i + bs]),
+                jnp.asarray(padded(wl)[i:i + bs]))
+            imgs.append(np.asarray(img))
+            hms.append(np.asarray(hm))
+            ams.append(np.asarray(am))
+        return {
+            'image': np.concatenate(imgs)[:n],
+            'height_map': np.concatenate(hms)[:n],
+            'absorption_map': np.concatenate(ams)[:n],
+        }
+
+    def normalize_time(self, time) -> float:
+        if isinstance(time, datetime):
+            ref = self.meta.get('ref_time')
+            if ref is None:
+                raise ValueError('datetime given but artifact has no ref_time')
+            from sunerf_tpu.core.scaling import normalize_datetime
+            return normalize_datetime(time, self.meta['seconds_per_dt'],
+                                      datetime.fromisoformat(ref))
+        return float(time)
+
+    def render_observer_image(self, lat: float, lon: float, time,
+                              distance: float, resolution: int = 256,
+                              wavelengths=None, fov: Optional[float] = None):
+        """Full-disk render from Carrington (lat, lon) [rad] — the
+        `ModelLoader.render_observer_image` contract on the artifact path."""
+        from sunerf_tpu.core.geometry import fov_for_distance, observer_rays
+        rays_o, rays_d = observer_rays(
+            lat, lon, distance, resolution,
+            fov=fov or fov_for_distance(distance))
+        n = resolution * resolution
+        t = np.full((n, 1), self.normalize_time(time), np.float32)
+        out = self(rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), t,
+                   wavelengths=wavelengths)
+        n_ch = out['image'].shape[-1]
+        return {
+            'image': out['image'].reshape(resolution, resolution, n_ch),
+            'height_map': out['height_map'].reshape(resolution, resolution),
+            'absorption_map': out['absorption_map'].reshape(
+                resolution, resolution),
+        }
+
+
+def main(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser(
+        description='Export a trained bundle to a portable StableHLO '
+                    'serving artifact (.shlo)')
+    parser.add_argument('state', help='deployment bundle (save_state path)')
+    parser.add_argument('out', help='output .shlo artifact')
+    parser.add_argument('--batch-size', type=int, default=4096)
+    parser.add_argument('--platforms', default='cpu,tpu',
+                        help='comma-separated lowering platforms')
+    parser.add_argument('--n-stratified', type=int, default=None,
+                        help='override the render sample budget')
+    parser.add_argument('--n-hierarchical', type=int, default=None)
+    parser.add_argument('--platform', default=None,
+                        help="force the TRACING jax platform (e.g. 'cpu' — "
+                             'lowering for the artifact platforms needs no '
+                             'device; this only affects where export traces)')
+    args = parser.parse_args(argv)
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+    overrides = {}
+    if args.n_stratified is not None:
+        overrides['n_stratified'] = args.n_stratified
+    if args.n_hierarchical is not None:
+        overrides['n_hierarchical'] = args.n_hierarchical
+    meta = export_serving(args.state, args.out,
+                          batch_size=args.batch_size,
+                          platforms=tuple(args.platforms.split(',')),
+                          render_overrides=overrides or None)
+    print(json.dumps({'out': args.out,
+                      'platforms': meta['platforms'],
+                      'batch_size': meta['batch_size'],
+                      'jax_version': meta['jax_version']}))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,166 @@
+"""Serving-export artifacts (evaluation/serving.py): a trained bundle
+exports to a hermetic StableHLO artifact that renders identically to the
+live Python stack. No reference counterpart (the reference serves by
+unpickling the Lightning checkpoint, evaluation/loader.py:16-70)."""
+import json
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sunerf_tpu.evaluation.serving import (ServingModel, export_serving,
+                                           main as serving_main)
+from sunerf_tpu.systems import emission_config, make_emission_system
+from sunerf_tpu.utils.checkpoint import save_state
+
+
+@pytest.fixture(scope='module')
+def bundle(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('serving')
+    config = emission_config(n_layers=2, d_filter=32, n_freqs=4)
+    renderer, init = make_emission_system(model_config=config,
+                                          n_stratified=8, n_hierarchical=8,
+                                          use_fused=False)
+    params = init(jax.random.key(0))
+    path = str(tmp / 'save_state')
+    save_state(path, params, {'renderer_spec': renderer.spec,
+                              'type': 'emission',
+                              'ref_time': '2021-01-01T00:00:00',
+                              'seconds_per_dt': 86400.0})
+    return path, renderer, params
+
+
+def _rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    ro = np.tile(np.array([[0., 0., 5.]], np.float32), (n, 1))
+    rd = np.float32(rng.normal(size=(n, 3)) * 0.05 + [0., 0., -1.])
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    t = np.zeros((n, 1), np.float32)
+    return ro, rd, t
+
+
+def test_export_roundtrip_matches_live(bundle, tmp_path):
+    path, renderer, params = bundle
+    out = str(tmp_path / 'model.shlo')
+    meta = export_serving(path, out, batch_size=64, platforms=('cpu',))
+    assert meta['platforms'] == ['cpu']
+    assert meta['n_channels'] == 0
+
+    model = ServingModel(out)
+    ro, rd, t = _rays(64)
+    served = model(ro, rd, t)
+    live = renderer(params, jnp.asarray(ro), jnp.asarray(rd),
+                    jnp.asarray(t), key=None)
+    # serialized-module execution reassociates float ops vs direct jit
+    np.testing.assert_allclose(served['image'],
+                               np.asarray(live['image']),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(served['height_map'],
+                               np.asarray(live['height_map']),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_artifact_is_self_describing(bundle, tmp_path):
+    path, _, _ = bundle
+    out = str(tmp_path / 'model.shlo')
+    export_serving(path, out, batch_size=32, platforms=('cpu',))
+    with zipfile.ZipFile(out) as zf:
+        meta = json.loads(zf.read('meta.json'))
+    assert meta['batch_size'] == 32
+    assert meta['renderer_spec']['model_config']['n_layers'] == 2
+    assert meta['jax_version'] == jax.__version__
+
+
+def test_padding_and_chunking(bundle, tmp_path):
+    """N not a multiple of the artifact batch: padded, chunked, unpadded."""
+    path, renderer, params = bundle
+    out = str(tmp_path / 'model.shlo')
+    export_serving(path, out, batch_size=32, platforms=('cpu',))
+    model = ServingModel(out)
+    ro, rd, t = _rays(71)
+    served = model(ro, rd, t)
+    assert served['image'].shape == (71, 1)
+    live = renderer(params, jnp.asarray(ro), jnp.asarray(rd),
+                    jnp.asarray(t), key=None)
+    np.testing.assert_allclose(served['image'],
+                               np.asarray(live['image']),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_full_disk_render_and_datetime(bundle, tmp_path):
+    from datetime import datetime
+    path, _, _ = bundle
+    out = str(tmp_path / 'model.shlo')
+    export_serving(path, out, batch_size=64, platforms=('cpu',))
+    model = ServingModel(out)
+    assert model.normalize_time(datetime(2021, 1, 3)) == pytest.approx(2.0)
+    view = model.render_observer_image(lat=0.3, lon=1.0,
+                                       time=datetime(2021, 1, 2),
+                                       distance=215.0, resolution=8)
+    assert view['image'].shape == (8, 8, 1)
+    assert np.all(np.isfinite(view['image']))
+
+
+def test_render_overrides_change_budget(bundle, tmp_path):
+    """A model trained at a reduced budget can export at the full one —
+    the override flows into the artifact's traced program."""
+    path, _, _ = bundle
+    out = str(tmp_path / 'model.shlo')
+    meta = export_serving(path, out, batch_size=32, platforms=('cpu',),
+                          render_overrides={'n_stratified': 16,
+                                            'n_hierarchical': 32})
+    assert meta['renderer_spec']['render']['n_stratified'] == 16
+    model = ServingModel(out)
+    ro, rd, t = _rays(32)
+    assert np.all(np.isfinite(model(ro, rd, t)['image']))
+
+
+def test_future_format_version_rejected(bundle, tmp_path):
+    path, _, _ = bundle
+    out = str(tmp_path / 'model.shlo')
+    export_serving(path, out, batch_size=32, platforms=('cpu',))
+    bad = str(tmp_path / 'bad.shlo')
+    with zipfile.ZipFile(out) as zin, \
+            zipfile.ZipFile(bad, 'w') as zout:
+        meta = json.loads(zin.read('meta.json'))
+        meta['format_version'] = 999
+        zout.writestr('meta.json', json.dumps(meta))
+        zout.writestr('render.stablehlo', zin.read('render.stablehlo'))
+    with pytest.raises(ValueError, match='newer'):
+        ServingModel(bad)
+
+
+def test_cli(bundle, tmp_path, capsys):
+    path, _, _ = bundle
+    out = str(tmp_path / 'cli.shlo')
+    serving_main([path, out, '--batch-size', '32', '--platforms', 'cpu'])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line['out'] == out and line['batch_size'] == 32
+    assert ServingModel(out).batch_size == 32
+
+
+def test_multichannel_wavelength_default(tmp_path):
+    """Multi-channel (DT) heads: the artifact fills its trained wavelengths
+    when the caller passes none."""
+    from sunerf_tpu.models.fields import density_temperature_config
+    from sunerf_tpu.systems import make_density_temperature_system
+    config = density_temperature_config(n_layers=2, d_filter=32, n_freqs=4)
+    renderer, init = make_density_temperature_system(
+        model_config=config, n_stratified=8, n_hierarchical=8,
+        use_fused=False)
+    params = init(jax.random.key(1))
+    path = str(tmp_path / 'save_state')
+    save_state(path, params, {'renderer_spec': renderer.spec,
+                              'type': 'density_temperature',
+                              'wavelengths': [171.0, 193.0]})
+    out = str(tmp_path / 'model.shlo')
+    meta = export_serving(path, out, batch_size=32, platforms=('cpu',))
+    assert meta['n_channels'] == 2
+    model = ServingModel(out)
+    ro, rd, t = _rays(32)
+    served = model(ro, rd, t)                      # default wavelengths
+    assert served['image'].shape == (32, 2)
+    served2 = model(ro, rd, t, wavelengths=[171.0, 193.0])
+    np.testing.assert_allclose(served['image'], served2['image'])
