@@ -43,17 +43,24 @@ _META_NAME = 'meta.json'
 
 def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
                    platforms: Sequence[str] = ('cpu', 'tpu'),
-                   render_overrides: Optional[dict] = None) -> dict:
+                   render_overrides: Optional[dict] = None,
+                   n_devices: int = 1) -> dict:
     """Export a deployment bundle (save_state npz+json) to a serving artifact.
 
     Args:
         state_path: bundle path as accepted by `load_state`.
         out_path: output `.shlo` artifact path (a zip container).
-        batch_size: rays per call; the artifact's static batch shape.
+        batch_size: rays per call; the artifact's static GLOBAL batch shape
+            (divided over `n_devices` when sharded).
         platforms: lowering platforms to embed ('cpu', 'tpu', 'cuda').
         render_overrides: optional render-section overrides (e.g. a full
             sample budget for a model trained at a reduced one), as in
             `SuNeRFLoader`.
+        n_devices: >1 embeds a 1-D data mesh in the artifact: rays shard
+            over the mesh, weights replicate — multi-chip serving with the
+            sharding baked into the program. Exported via AbstractMesh, so
+            an N-chip artifact can be produced on a 1-chip (or CPU) host;
+            executing it requires N devices.
 
     Returns:
         The artifact metadata dict (also stored inside the artifact).
@@ -80,14 +87,27 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
                        wavelengths=wl)
         return out['image'], out['height_map'], out['absorption_map']
 
+    if n_devices > 1:
+        if batch_size % n_devices:
+            raise ValueError(f'batch_size {batch_size} not divisible by '
+                             f'n_devices {n_devices}')
+        from jax.sharding import AbstractMesh, NamedSharding, PartitionSpec
+        amesh = AbstractMesh((n_devices,), ('data',))
+        shard = NamedSharding(amesh, PartitionSpec('data'))
+        jitted = jax.jit(render_fn, in_shardings=(shard,) * 4,
+                         out_shardings=(shard,) * 3)
+    else:
+        jitted = jax.jit(render_fn)
+
     sh = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32)
-    exported = jax_export.export(jax.jit(render_fn), platforms=list(platforms))(
+    exported = jax_export.export(jitted, platforms=list(platforms))(
         sh(batch_size, 3), sh(batch_size, 3), sh(batch_size, 1),
         sh(batch_size, n_ch))
 
     meta = {
         'format_version': FORMAT_VERSION,
         'batch_size': int(batch_size),
+        'n_devices': int(n_devices),
         'platforms': list(exported.platforms),
         'n_channels': n_ch,
         'wavelengths': wavelengths,
@@ -126,6 +146,18 @@ class ServingModel:
         self._exported = jax_export.deserialize(blob)
         self.batch_size = int(self.meta['batch_size'])
         self.n_channels = int(self.meta['n_channels'])
+        self.n_devices = int(self.meta.get('n_devices', 1))
+        self._sharding = None
+        if self.n_devices > 1:
+            import numpy as _np
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            devices = jax.devices()
+            if len(devices) < self.n_devices:
+                raise ValueError(
+                    f'artifact was exported for {self.n_devices} devices; '
+                    f'runtime has {len(devices)}')
+            mesh = Mesh(_np.array(devices[:self.n_devices]), ('data',))
+            self._sharding = NamedSharding(mesh, PartitionSpec('data'))
         # one jitted chunk program; XLA compiles per platform on first call
         self._call = jax.jit(self._exported.call)
 
@@ -157,13 +189,18 @@ class ServingModel:
         def padded(x):
             return np.pad(x, ((0, pad), (0, 0))) if pad else x
 
+        def put(x):
+            x = jnp.asarray(x)
+            return (jax.device_put(x, self._sharding)
+                    if self._sharding is not None else x)
+
         imgs, hms, ams = [], [], []
         for i in range(0, n_pad, bs):
             img, hm, am = self._call(
-                jnp.asarray(padded(rays_o)[i:i + bs]),
-                jnp.asarray(padded(rays_d)[i:i + bs]),
-                jnp.asarray(padded(times)[i:i + bs]),
-                jnp.asarray(padded(wl)[i:i + bs]))
+                put(padded(rays_o)[i:i + bs]),
+                put(padded(rays_d)[i:i + bs]),
+                put(padded(times)[i:i + bs]),
+                put(padded(wl)[i:i + bs]))
             imgs.append(np.asarray(img))
             hms.append(np.asarray(hm))
             ams.append(np.asarray(am))
@@ -215,6 +252,10 @@ def main(argv=None):
     parser.add_argument('--batch-size', type=int, default=4096)
     parser.add_argument('--platforms', default='cpu,tpu',
                         help='comma-separated lowering platforms')
+    parser.add_argument('--n-devices', type=int, default=1,
+                        help='>1 bakes a 1-D data mesh into the artifact '
+                             '(multi-chip serving; rays shard, weights '
+                             'replicate)')
     parser.add_argument('--n-stratified', type=int, default=None,
                         help='override the render sample budget')
     parser.add_argument('--n-hierarchical', type=int, default=None)
@@ -233,10 +274,12 @@ def main(argv=None):
     meta = export_serving(args.state, args.out,
                           batch_size=args.batch_size,
                           platforms=tuple(args.platforms.split(',')),
-                          render_overrides=overrides or None)
+                          render_overrides=overrides or None,
+                          n_devices=args.n_devices)
     print(json.dumps({'out': args.out,
                       'platforms': meta['platforms'],
                       'batch_size': meta['batch_size'],
+                      'n_devices': meta['n_devices'],
                       'jax_version': meta['jax_version']}))
 
 

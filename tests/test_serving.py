@@ -141,6 +141,32 @@ def test_cli(bundle, tmp_path, capsys):
     assert ServingModel(out).batch_size == 32
 
 
+def test_sharded_export_matches_single(bundle, tmp_path):
+    """n_devices=8 artifact (AbstractMesh export): rays shard over the
+    data mesh, output matches the single-device artifact."""
+    path, renderer, params = bundle
+    single = str(tmp_path / 'single.shlo')
+    sharded = str(tmp_path / 'sharded.shlo')
+    export_serving(path, single, batch_size=64, platforms=('cpu',))
+    meta = export_serving(path, sharded, batch_size=64, platforms=('cpu',),
+                          n_devices=8)
+    assert meta['n_devices'] == 8
+
+    m1, m8 = ServingModel(single), ServingModel(sharded)
+    assert m8._sharding is not None
+    ro, rd, t = _rays(100)                     # forces padding too
+    out1, out8 = m1(ro, rd, t), m8(ro, rd, t)
+    np.testing.assert_allclose(out8['image'], out1['image'],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_export_batch_divisibility(bundle, tmp_path):
+    path, _, _ = bundle
+    with pytest.raises(ValueError, match='divisible'):
+        export_serving(path, str(tmp_path / 'x.shlo'), batch_size=30,
+                       platforms=('cpu',), n_devices=8)
+
+
 def test_multichannel_wavelength_default(tmp_path):
     """Multi-channel (DT) heads: the artifact fills its trained wavelengths
     when the caller passes none."""
