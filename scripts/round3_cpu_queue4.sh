@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-3 CPU mini queue, part 4: temporal-grid (grid_time / HexPlane)
+# evidence on the temporal closed loop — the venue the 4-D factorization
+# was built for. Mini shapes (frames 4, views 6, res 48, 1500 steps) on
+# the 1-core host; the A/B is plain n_freqs_time=2 (the validated round-1
+# temporal encoding) vs + a 32^3x8 rank-16 space-time grid.
+# Chained after round3_cpu_queue3.sh (single core — never overlap).
+set -u
+cd /root/repo
+COMMON="--platform cpu --frames 4 --views 6 --steps 1500 --resolution 48"
+echo "=== cpu_queue4 start $(date) ==="
+
+python scripts/temporal_closed_loop.py $COMMON \
+    > TEMPORAL_GRID_CPU_r3_plain.json 2>/tmp/tcl_plain.log \
+    && echo "--- plain control done $(date) ---" \
+    && tail -1 TEMPORAL_GRID_CPU_r3_plain.json
+
+python scripts/temporal_closed_loop.py $COMMON \
+    --grid-size 32 --grid-rank 16 --grid-time 8 \
+    > TEMPORAL_GRID_CPU_r3_grid.json 2>/tmp/tcl_grid.log \
+    && echo "--- grid_time row done $(date) ---" \
+    && tail -1 TEMPORAL_GRID_CPU_r3_grid.json
+
+echo "=== cpu_queue4 done $(date) ==="

@@ -29,6 +29,12 @@ timeout 5400 python scripts/psi_protocol.py $BASE $RECIPE \
     --grid-sizes 16 32 --grid-coarse --out PSI_GRID_r3.jsonl 2>&1 | tail -4
 echo "--- grid-coarse row done $(date) ---"
 
+# The CPU overfit-fix matrix's decisive winner (RESULTS.md: 16-only =
+# 26.15 test PSNR vs plain 23.49 at matched SSIM): single coarser level.
+timeout 5400 python scripts/psi_protocol.py $BASE $RECIPE \
+    --grid-sizes 16 --out PSI_GRID_r3.jsonl 2>&1 | tail -4
+echo "--- grid-16-only row done $(date) ---"
+
 timeout 5400 python scripts/psi_protocol.py $BASE $RECIPE \
     --grid-sizes 32 --grid-rank 16 --out PSI_GRID_r3.jsonl 2>&1 | tail -4
 echo "--- vm-32-r16 row done $(date) ---"

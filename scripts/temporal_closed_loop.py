@@ -96,9 +96,14 @@ def main():
     parser.add_argument('--grid-rank', type=int, default=16)
     parser.add_argument('--grid-time', type=int, default=8)
     parser.add_argument('--table-tv', type=float, default=0.0)
+    parser.add_argument('--platform', default=None,
+                        help="force a jax platform (e.g. 'cpu' for offline "
+                             'mini runs; default = the environment backend)')
     args = parser.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp

@@ -189,6 +189,9 @@ class ServingModel:
         def padded(x):
             return np.pad(x, ((0, pad), (0, 0))) if pad else x
 
+        rays_o, rays_d = padded(rays_o), padded(rays_d)
+        times, wl = padded(times), padded(wl)
+
         def put(x):
             x = jnp.asarray(x)
             return (jax.device_put(x, self._sharding)
@@ -197,10 +200,8 @@ class ServingModel:
         imgs, hms, ams = [], [], []
         for i in range(0, n_pad, bs):
             img, hm, am = self._call(
-                put(padded(rays_o)[i:i + bs]),
-                put(padded(rays_d)[i:i + bs]),
-                put(padded(times)[i:i + bs]),
-                put(padded(wl)[i:i + bs]))
+                put(rays_o[i:i + bs]), put(rays_d[i:i + bs]),
+                put(times[i:i + bs]), put(wl[i:i + bs]))
             imgs.append(np.asarray(img))
             hms.append(np.asarray(hm))
             ams.append(np.asarray(am))
