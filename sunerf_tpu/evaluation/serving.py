@@ -44,7 +44,8 @@ _META_NAME = 'meta.json'
 def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
                    platforms: Sequence[str] = ('cpu', 'tpu'),
                    render_overrides: Optional[dict] = None,
-                   n_devices: int = 1) -> dict:
+                   n_devices: int = 1,
+                   tier: Optional[tuple] = None) -> dict:
     """Export a deployment bundle (save_state npz+json) to a serving artifact.
 
     Args:
@@ -61,6 +62,12 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
             sharding baked into the program. Exported via AbstractMesh, so
             an N-chip artifact can be produced on a 1-chip (or CPU) host;
             executing it requires N devices.
+        tier: optional (fraction, samples) — bake adaptive per-ray budgets
+            into the artifact (the `ModelLoader(tier=...)` inference
+            contract: the dimmest `fraction` of each batch, ranked by the
+            coarse pass, renders at `samples` samples). Off-disk pixels
+            dominate full-disk frames, so this roughly halves serve cost
+            at a small quality cost on dim pixels.
 
     Returns:
         The artifact metadata dict (also stored inside the artifact).
@@ -78,6 +85,11 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
         spec = dict(spec,
                     render=dict(spec.get('render', {}), **render_overrides))
     renderer, _ = from_spec(spec, use_fused=False)
+    if tier is not None:
+        import dataclasses
+        renderer = dataclasses.replace(
+            renderer, tier_fraction=float(tier[0]),
+            tier_samples=int(tier[1]), tier_eval=True)
 
     wavelengths = config.get('wavelengths')
     n_ch = len(wavelengths) if wavelengths else 0
@@ -108,6 +120,7 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
         'format_version': FORMAT_VERSION,
         'batch_size': int(batch_size),
         'n_devices': int(n_devices),
+        'tier': list(tier) if tier is not None else None,
         'platforms': list(exported.platforms),
         'n_channels': n_ch,
         'wavelengths': wavelengths,
@@ -257,6 +270,9 @@ def main(argv=None):
                         help='>1 bakes a 1-D data mesh into the artifact '
                              '(multi-chip serving; rays shard, weights '
                              'replicate)')
+    parser.add_argument('--tier', default=None, metavar='FRAC,SAMPLES',
+                        help="bake adaptive per-ray budgets in, e.g. "
+                             "'0.5,16' (see ModelLoader tier)")
     parser.add_argument('--n-stratified', type=int, default=None,
                         help='override the render sample budget')
     parser.add_argument('--n-hierarchical', type=int, default=None)
@@ -272,11 +288,15 @@ def main(argv=None):
         overrides['n_stratified'] = args.n_stratified
     if args.n_hierarchical is not None:
         overrides['n_hierarchical'] = args.n_hierarchical
+    tier = None
+    if args.tier:
+        frac, samples = args.tier.split(',')
+        tier = (float(frac), int(samples))
     meta = export_serving(args.state, args.out,
                           batch_size=args.batch_size,
                           platforms=tuple(args.platforms.split(',')),
                           render_overrides=overrides or None,
-                          n_devices=args.n_devices)
+                          n_devices=args.n_devices, tier=tier)
     print(json.dumps({'out': args.out,
                       'platforms': meta['platforms'],
                       'batch_size': meta['batch_size'],

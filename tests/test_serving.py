@@ -160,6 +160,24 @@ def test_sharded_export_matches_single(bundle, tmp_path):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_tiered_export(bundle, tmp_path):
+    """tier=(f, n) bakes the adaptive-budget inference path into the
+    artifact; output differs from full-budget (the dim tier renders at n
+    samples) but stays finite and close on bright rays."""
+    path, _, _ = bundle
+    full = str(tmp_path / 'full.shlo')
+    tiered = str(tmp_path / 'tiered.shlo')
+    export_serving(path, full, batch_size=64, platforms=('cpu',))
+    meta = export_serving(path, tiered, batch_size=64, platforms=('cpu',),
+                          tier=(0.5, 4))
+    assert meta['tier'] == [0.5, 4]
+    mf, mt = ServingModel(full), ServingModel(tiered)
+    ro, rd, t = _rays(64)
+    of, ot = mf(ro, rd, t), mt(ro, rd, t)
+    assert np.all(np.isfinite(ot['image']))
+    assert not np.allclose(of['image'], ot['image'])  # tier engaged
+
+
 def test_sharded_export_batch_divisibility(bundle, tmp_path):
     path, _, _ = bundle
     with pytest.raises(ValueError, match='divisible'):
