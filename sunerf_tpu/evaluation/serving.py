@@ -38,6 +38,7 @@ import numpy as np
 
 FORMAT_VERSION = 1
 _BLOB_NAME = 'render.stablehlo'
+_POINTS_BLOB_NAME = 'points.stablehlo'
 _META_NAME = 'meta.json'
 
 
@@ -116,6 +117,15 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
         sh(batch_size, 3), sh(batch_size, 3), sh(batch_size, 1),
         sh(batch_size, n_ch))
 
+    # second entry point: direct field query for volume products (density/
+    # temperature cubes etc. — the `ModelLoader.load_coords` contract);
+    # single-device (point grids are cheap relative to quadrature)
+    def points_fn(points):
+        return renderer.forward_points(params, points).raw
+
+    exported_points = jax_export.export(
+        jax.jit(points_fn), platforms=list(platforms))(sh(batch_size, 4))
+
     meta = {
         'format_version': FORMAT_VERSION,
         'batch_size': int(batch_size),
@@ -134,6 +144,7 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
     with zipfile.ZipFile(out_path, 'w', zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_META_NAME, json.dumps(meta, indent=1))
         zf.writestr(_BLOB_NAME, exported.serialize())
+        zf.writestr(_POINTS_BLOB_NAME, exported_points.serialize())
     return meta
 
 
@@ -152,6 +163,8 @@ class ServingModel:
         with zipfile.ZipFile(path) as zf:
             self.meta = json.loads(zf.read(_META_NAME))
             blob = zf.read(_BLOB_NAME)
+            pblob = (zf.read(_POINTS_BLOB_NAME)
+                     if _POINTS_BLOB_NAME in zf.namelist() else None)
         if self.meta.get('format_version', 0) > FORMAT_VERSION:
             raise ValueError(
                 f'artifact format v{self.meta["format_version"]} is newer '
@@ -173,6 +186,8 @@ class ServingModel:
             self._sharding = NamedSharding(mesh, PartitionSpec('data'))
         # one jitted chunk program; XLA compiles per platform on first call
         self._call = jax.jit(self._exported.call)
+        self._points_call = (jax.jit(jax_export.deserialize(pblob).call)
+                             if pblob is not None else None)
 
     @property
     def wavelengths(self):
@@ -223,6 +238,22 @@ class ServingModel:
             'height_map': np.concatenate(hms)[:n],
             'absorption_map': np.concatenate(ams)[:n],
         }
+
+    def query_points(self, query_points) -> np.ndarray:
+        """Direct field query at [N, 4] (x, y, z, t) points — the
+        `ModelLoader.load_coords` contract on the artifact path. Returns
+        raw [N, d_output] head inputs (log emission/absorption, or
+        log-rho/log-T for DT models)."""
+        if self._points_call is None:
+            raise ValueError('artifact carries no points entry point')
+        q = np.asarray(query_points, np.float32).reshape(-1, 4)
+        n, bs = q.shape[0], self.batch_size
+        pad = (n + bs - 1) // bs * bs - n
+        if pad:
+            q = np.pad(q, ((0, pad), (0, 0)))
+        outs = [np.asarray(self._points_call(jnp.asarray(q[i:i + bs])))
+                for i in range(0, q.shape[0], bs)]
+        return np.concatenate(outs)[:n]
 
     def normalize_time(self, time) -> float:
         if isinstance(time, datetime):

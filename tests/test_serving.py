@@ -160,6 +160,21 @@ def test_sharded_export_matches_single(bundle, tmp_path):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_points_entry_matches_live(bundle, tmp_path):
+    """The artifact's second entry point (direct field query) matches the
+    live forward_points — the volume-products contract."""
+    path, renderer, params = bundle
+    out = str(tmp_path / 'model.shlo')
+    export_serving(path, out, batch_size=32, platforms=('cpu',))
+    model = ServingModel(out)
+    rng = np.random.default_rng(3)
+    q = np.float32(rng.uniform(-1.2, 1.2, size=(50, 4)))  # padding too
+    served = model.query_points(q)
+    live = np.asarray(renderer.forward_points(params, jnp.asarray(q)).raw)
+    assert served.shape == live.shape
+    np.testing.assert_allclose(served, live, rtol=1e-4, atol=1e-6)
+
+
 def test_tiered_export(bundle, tmp_path):
     """tier=(f, n) bakes the adaptive-budget inference path into the
     artifact; output differs from full-budget (the dim tier renders at n
