@@ -7,7 +7,8 @@
 # Chained after round3_cpu_queue3.sh (single core — never overlap).
 set -u
 cd /root/repo
-COMMON="--platform cpu --frames 4 --views 6 --steps 1500 --resolution 48"
+COMMON="--platform cpu --frames 4 --views 6 --steps 1200 --resolution 48
+        --n-stratified 24 --n-hierarchical 48"
 echo "=== cpu_queue4 start $(date) ==="
 
 python scripts/temporal_closed_loop.py $COMMON \

@@ -99,6 +99,10 @@ def main():
     parser.add_argument('--platform', default=None,
                         help="force a jax platform (e.g. 'cpu' for offline "
                              'mini runs; default = the environment backend)')
+    # sample budget (defaults = reference parity 64+128; CPU mini runs
+    # should cut this — the closed-loop conclusions track relative quality)
+    parser.add_argument('--n-stratified', type=int, default=64)
+    parser.add_argument('--n-hierarchical', type=int, default=128)
     args = parser.parse_args()
 
     import jax
@@ -154,7 +158,8 @@ def main():
         tv = dict(lambda_table_tv=args.table_tv) if args.table_tv else {}
 
     renderer, init = make_emission_system(
-        model_config=emission_config(n_freqs_time=2, **grid_kwargs))
+        model_config=emission_config(n_freqs_time=2, **grid_kwargs),
+        n_stratified=args.n_stratified, n_hierarchical=args.n_hierarchical)
     trainer = Trainer(
         renderer, init, data,
         loss_config=LossConfig(lambda_regularization=0.1, scaling_vmax=10.0,
@@ -217,6 +222,7 @@ def main():
 
     print(json.dumps({
         'frames': F, 'views_per_time': V, 'steps': args.steps,
+        'budget': [args.n_stratified, args.n_hierarchical],
         **({'grid': {'size': args.grid_size, 'rank': args.grid_rank,
                      'time': args.grid_time, 'table_tv': args.table_tv}}
            if args.grid_size else {}),
