@@ -200,6 +200,31 @@ def test_sharded_export_batch_divisibility(bundle, tmp_path):
                        platforms=('cpu',), n_devices=8)
 
 
+def test_grid_bundle_exports(tmp_path):
+    """Feature-grid (incl. temporal VM) bundles export and match live —
+    the grid path is pure one-hot contractions, so it must lower portably."""
+    config = emission_config(n_layers=2, d_filter=32, n_freqs=4,
+                             grid_sizes=(8,), grid_rank=4, grid_time=4,
+                             grid_time_range=(0.0, 1.0), grid_bound=1.3)
+    renderer, init = make_emission_system(model_config=config,
+                                          n_stratified=8, n_hierarchical=8,
+                                          use_fused=False)
+    params = init(jax.random.key(2))
+    path = str(tmp_path / 'save_state')
+    save_state(path, params, {'renderer_spec': renderer.spec,
+                              'type': 'emission'})
+    out = str(tmp_path / 'grid.shlo')
+    export_serving(path, out, batch_size=32, platforms=('cpu',))
+    model = ServingModel(out)
+    ro, rd, t = _rays(32)
+    t = np.linspace(0, 1, 32, dtype=np.float32)[:, None]
+    served = model(ro, rd, t)
+    live = renderer(params, jnp.asarray(ro), jnp.asarray(rd),
+                    jnp.asarray(t), key=None)
+    np.testing.assert_allclose(served['image'], np.asarray(live['image']),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_multichannel_wavelength_default(tmp_path):
     """Multi-channel (DT) heads: the artifact fills its trained wavelengths
     when the caller passes none."""
