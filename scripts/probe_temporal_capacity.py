@@ -65,7 +65,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--steps', type=int, default=2000)
     parser.add_argument('--batch', type=int, default=2048)
-    parser.add_argument('--frames', type=int, default=6)
+    parser.add_argument('--frames', type=int, default=6,
+                        help='number of discrete training times (>= 2)')
     parser.add_argument('--lr', type=float, default=1e-3)
     parser.add_argument('--only', nargs='+', default=None)
     parser.add_argument('--out', default=None)
@@ -80,6 +81,8 @@ def main():
     from sunerf_tpu.models.fields import emission_config, init_nerf, nerf_apply
 
     F = args.frames
+    if F < 2:
+        parser.error('--frames must be >= 2 (half-step eval needs a gap)')
     train_times = np.asarray([f / (F - 1) for f in range(F)], np.float32)
     unseen_times = np.asarray([(f + 0.5) / (F - 1) for f in range(F - 1)],
                               np.float32)

@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-3 CPU mini queue, part 4: temporal-grid (grid_time / HexPlane)
 # evidence on the temporal closed loop — the venue the 4-D factorization
-# was built for. Mini shapes (frames 4, views 6, res 48, 1500 steps) on
+# was built for. Mini shapes (frames 4, views 6, res 48, 1200 steps) on
 # the 1-core host; the A/B is plain n_freqs_time=2 (the validated round-1
 # temporal encoding) vs + a 32^3x8 rank-16 space-time grid.
 # Chained after round3_cpu_queue3.sh (single core — never overlap).

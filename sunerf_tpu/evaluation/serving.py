@@ -36,7 +36,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMAT_VERSION = 1
+# Reader capability. Artifacts are written v1 (single-device) or v2
+# (n_devices>1 — requires mesh-aware execution), so v1-only readers get a
+# clean version error on sharded artifacts rather than an opaque
+# lowered-for-N-devices failure.
+FORMAT_VERSION = 2
 _BLOB_NAME = 'render.stablehlo'
 _POINTS_BLOB_NAME = 'points.stablehlo'
 _META_NAME = 'meta.json'
@@ -88,9 +92,14 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
     renderer, _ = from_spec(spec, use_fused=False)
     if tier is not None:
         import dataclasses
+        tier = (float(tier[0]), int(tier[1]))
+        if not 0.0 < tier[0] < 1.0:
+            raise ValueError(f'tier fraction must be in (0, 1), got '
+                             f'{tier[0]} (0 would silently export a '
+                             'full-budget artifact)')
         renderer = dataclasses.replace(
-            renderer, tier_fraction=float(tier[0]),
-            tier_samples=int(tier[1]), tier_eval=True)
+            renderer, tier_fraction=tier[0],
+            tier_samples=tier[1], tier_eval=True)
 
     wavelengths = config.get('wavelengths')
     n_ch = len(wavelengths) if wavelengths else 0
@@ -127,7 +136,7 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
         jax.jit(points_fn), platforms=list(platforms))(sh(batch_size, 4))
 
     meta = {
-        'format_version': FORMAT_VERSION,
+        'format_version': 2 if n_devices > 1 else 1,
         'batch_size': int(batch_size),
         'n_devices': int(n_devices),
         'tier': list(tier) if tier is not None else None,
@@ -221,9 +230,10 @@ class ServingModel:
         times, wl = padded(times), padded(wl)
 
         def put(x):
-            x = jnp.asarray(x)
+            # device_put straight from host: one sharded transfer, no
+            # default-device staging copy
             return (jax.device_put(x, self._sharding)
-                    if self._sharding is not None else x)
+                    if self._sharding is not None else jnp.asarray(x))
 
         imgs, hms, ams = [], [], []
         for i in range(0, n_pad, bs):

@@ -69,6 +69,7 @@ def test_artifact_is_self_describing(bundle, tmp_path):
     with zipfile.ZipFile(out) as zf:
         meta = json.loads(zf.read('meta.json'))
     assert meta['batch_size'] == 32
+    assert meta['format_version'] == 1          # single-device stays v1
     assert meta['renderer_spec']['model_config']['n_layers'] == 2
     assert meta['jax_version'] == jax.__version__
 
@@ -151,6 +152,8 @@ def test_sharded_export_matches_single(bundle, tmp_path):
     meta = export_serving(path, sharded, batch_size=64, platforms=('cpu',),
                           n_devices=8)
     assert meta['n_devices'] == 8
+    # sharded artifacts are v2 so v1-only readers reject them cleanly
+    assert meta['format_version'] == 2
 
     m1, m8 = ServingModel(single), ServingModel(sharded)
     assert m8._sharding is not None
@@ -191,6 +194,9 @@ def test_tiered_export(bundle, tmp_path):
     of, ot = mf(ro, rd, t), mt(ro, rd, t)
     assert np.all(np.isfinite(ot['image']))
     assert not np.allclose(of['image'], ot['image'])  # tier engaged
+    with pytest.raises(ValueError, match='fraction'):
+        export_serving(path, str(tmp_path / 'z.shlo'), batch_size=64,
+                       platforms=('cpu',), tier=(0.0, 16))
 
 
 def test_sharded_export_batch_divisibility(bundle, tmp_path):
@@ -216,7 +222,7 @@ def test_grid_bundle_exports(tmp_path):
     out = str(tmp_path / 'grid.shlo')
     export_serving(path, out, batch_size=32, platforms=('cpu',))
     model = ServingModel(out)
-    ro, rd, t = _rays(32)
+    ro, rd, _ = _rays(32)
     t = np.linspace(0, 1, 32, dtype=np.float32)[:, None]
     served = model(ro, rd, t)
     live = renderer(params, jnp.asarray(ro), jnp.asarray(rd),
