@@ -28,9 +28,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def target_field_t(pts):
-    """Time-evolving log-emission target: amplitude 1.5->4.0, longitude
-    drift 0.5 rad across t in [0, 1] (temporal_closed_loop synth_cubes)."""
+def target_field_t(pts, drift=0.5, amp_cycles=0.0):
+    """Time-evolving log-emission target: amplitude 1.5->4.0 (optionally
+    oscillating amp_cycles times), longitude drifting `drift` rad across
+    t in [0, 1] (drift=0.5 = temporal_closed_loop synth_cubes)."""
     import jax.numpy as jnp
     x, y, z, t = pts[:, 0], pts[:, 1], pts[:, 2], pts[:, 3]
     r = jnp.sqrt(x * x + y * y + z * z)
@@ -41,7 +42,9 @@ def target_field_t(pts):
         return (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
 
     a = 1.5 + 2.5 * t
-    ph0 = 1.0 + 0.5 * t
+    if amp_cycles:
+        a = a * (1.0 + 0.5 * jnp.sin(2 * jnp.pi * amp_cycles * t))
+    ph0 = 1.0 + drift * t
     streamer = a * jnp.exp(-wrap(ph - ph0) ** 2 / 0.1
                            - (th - jnp.pi / 2) ** 2 / 0.05)
     rc = jnp.clip(r, 1.0, 1.3)
@@ -68,6 +71,12 @@ def main():
     parser.add_argument('--frames', type=int, default=6,
                         help='number of discrete training times (>= 2)')
     parser.add_argument('--lr', type=float, default=1e-3)
+    parser.add_argument('--drift', type=float, default=0.5,
+                        help='streamer longitude drift [rad] over t in '
+                             '[0,1] (0.5 = closed-loop synth; larger = '
+                             'temporal structure beyond the posenc bands)')
+    parser.add_argument('--amp-cycles', type=float, default=0.0,
+                        help='amplitude oscillation cycles over [0,1]')
     parser.add_argument('--only', nargs='+', default=None)
     parser.add_argument('--out', default=None)
     args = parser.parse_args()
@@ -98,10 +107,15 @@ def main():
 
     val_seen = sample_points(jax.random.key(999), 16384, train_times)
     val_unseen = sample_points(jax.random.key(998), 16384, unseen_times)
-    y_seen, y_unseen = target_field_t(val_seen), target_field_t(val_unseen)
+    def target(pts):
+        return target_field_t(pts, drift=args.drift,
+                              amp_cycles=args.amp_cycles)
+
+    y_seen, y_unseen = target(val_seen), target(val_unseen)
 
     out = {'steps': args.steps, 'batch': args.batch, 'frames': F,
-           'lr': args.lr, 'recipe': 'table_lr_mult=10 adam_eps=1e-15'}
+           'lr': args.lr, 'drift': args.drift, 'amp_cycles': args.amp_cycles,
+           'recipe': 'table_lr_mult=10 adam_eps=1e-15'}
     for label, kw in CONFIGS:
         if args.only and label not in args.only:
             continue
@@ -124,7 +138,7 @@ def main():
         @jax.jit
         def step(p, s, key):
             pts = sample_points(key, args.batch, train_times)
-            y = target_field_t(pts)
+            y = target(pts)
             l, g = jax.value_and_grad(loss_fn)(p, pts, y)
             updates, s = opt.update(g, s)
             return optax.apply_updates(p, updates), s, l
