@@ -22,4 +22,13 @@ python scripts/temporal_closed_loop.py $COMMON \
     && echo "--- grid_time row done $(date) ---" \
     && tail -1 TEMPORAL_GRID_CPU_r3_grid.json
 
+# Attribution row: STATIC VM (grid_time 0) — the regression probe
+# (TEMPORAL_CAPACITY_r3.json) says the static tables carry the win at
+# slow drift; this separates "VM capacity" from "temporal tables".
+python scripts/temporal_closed_loop.py $COMMON \
+    --grid-size 32 --grid-rank 16 --grid-time 0 \
+    > TEMPORAL_GRID_CPU_r3_vmstatic.json 2>/tmp/tcl_vmstatic.log \
+    && echo "--- vm-static row done $(date) ---" \
+    && tail -1 TEMPORAL_GRID_CPU_r3_vmstatic.json
+
 echo "=== cpu_queue4 done $(date) ==="
