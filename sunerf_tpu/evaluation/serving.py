@@ -279,8 +279,11 @@ class ServingModel:
                               distance: float, resolution: int = 256,
                               wavelengths=None, fov: Optional[float] = None):
         """Full-disk render from Carrington (lat, lon) [rad] — the
-        `ModelLoader.render_observer_image` contract on the artifact path."""
+        `ModelLoader.render_observer_image` contract on the artifact path
+        (returns the same RenderedView, so the eval CLIs can consume
+        artifacts interchangeably with bundles)."""
         from sunerf_tpu.core.geometry import fov_for_distance, observer_rays
+        from sunerf_tpu.evaluation.loader import RenderedView
         rays_o, rays_d = observer_rays(
             lat, lon, distance, resolution,
             fov=fov or fov_for_distance(distance))
@@ -289,12 +292,11 @@ class ServingModel:
         out = self(rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), t,
                    wavelengths=wavelengths)
         n_ch = out['image'].shape[-1]
-        return {
-            'image': out['image'].reshape(resolution, resolution, n_ch),
-            'height_map': out['height_map'].reshape(resolution, resolution),
-            'absorption_map': out['absorption_map'].reshape(
-                resolution, resolution),
-        }
+        return RenderedView(
+            image=out['image'].reshape(resolution, resolution, n_ch),
+            height_map=out['height_map'].reshape(resolution, resolution),
+            absorption_map=out['absorption_map'].reshape(
+                resolution, resolution))
 
 
 def main(argv=None):

@@ -37,7 +37,15 @@ def render_video_frames(state_path: str, output_dir: str, n_frames: int = 60,
     """tier: optional (fraction, samples) — adaptive per-ray budgets for the
     frame renders (loader.py); dim/background pixels render at the reduced
     budget, roughly halving flyby render time."""
-    loader = SuNeRFLoader(state_path, batch_size=batch_size, tier=tier)
+    if state_path.endswith('.shlo'):
+        # serving artifact: the render program (incl. any tier) is baked in
+        if tier is not None:
+            raise ValueError('--tier is baked into .shlo artifacts at '
+                             'export time (evaluation.serving --tier)')
+        from sunerf_tpu.evaluation.serving import ServingModel
+        loader = ServingModel(state_path)
+    else:
+        loader = SuNeRFLoader(state_path, batch_size=batch_size, tier=tier)
     if wavelengths is None:
         wl_cfg = loader.wavelengths
         wavelengths = list(wl_cfg) if wl_cfg else None

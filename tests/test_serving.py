@@ -100,8 +100,24 @@ def test_full_disk_render_and_datetime(bundle, tmp_path):
     view = model.render_observer_image(lat=0.3, lon=1.0,
                                        time=datetime(2021, 1, 2),
                                        distance=215.0, resolution=8)
-    assert view['image'].shape == (8, 8, 1)
-    assert np.all(np.isfinite(view['image']))
+    assert view.image.shape == (8, 8, 1)
+    assert np.all(np.isfinite(view.image))
+
+
+def test_video_cli_accepts_artifact(bundle, tmp_path):
+    """The video CLI renders flyby frames straight from a .shlo artifact."""
+    from sunerf_tpu.evaluation.video import render_video_frames
+    path, _, _ = bundle
+    out = str(tmp_path / 'model.shlo')
+    export_serving(path, out, batch_size=64, platforms=('cpu',))
+    frames = render_video_frames(out, str(tmp_path / 'frames'), n_frames=2,
+                                 resolution=8)
+    assert len(frames) == 2
+    import os
+    assert all(os.path.exists(f) for f in frames)
+    with pytest.raises(ValueError, match='baked'):
+        render_video_frames(out, str(tmp_path / 'frames2'), n_frames=1,
+                            resolution=8, tier=(0.5, 8))
 
 
 def test_render_overrides_change_budget(bundle, tmp_path):
