@@ -87,8 +87,18 @@ def main(argv=None):
         overrides['n_stratified'] = args.eval_stratified
     if args.eval_hierarchical is not None:
         overrides['n_hierarchical'] = args.eval_hierarchical
-    loader = SuNeRFLoader(args.state, batch_size=args.batch_size,
-                          render_overrides=overrides or None)
+    if args.state.endswith('.shlo'):
+        # serving artifact: score the EXACT deployed program (sample
+        # budget/tier are baked at export; overrides there instead)
+        if overrides:
+            parser.error('--eval-* overrides are baked into .shlo '
+                         'artifacts at export time '
+                         '(evaluation.serving --n-stratified/...)')
+        from sunerf_tpu.evaluation.serving import ServingModel
+        loader = ServingModel(args.state)
+    else:
+        loader = SuNeRFLoader(args.state, batch_size=args.batch_size,
+                              render_overrides=overrides or None)
     files = sorted(glob.glob(args.data))
     result = evaluate_viewpoints(loader, files, args.lat_split, args.scaling)
     summary = {k: result[k] for k in ('train', 'test', 'all', 'n_train', 'n_test')}

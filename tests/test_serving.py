@@ -247,6 +247,40 @@ def test_grid_bundle_exports(tmp_path):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_metrics_harness_accepts_artifact(tmp_path):
+    """The metrics harness scores a .shlo artifact against ground-truth
+    FITS — near-perfect metrics when the artifact re-renders its own GT."""
+    import glob
+    from sunerf_tpu.evaluation.image_render import render_observers
+    from sunerf_tpu.evaluation.metrics_harness import evaluate_viewpoints
+    config = {
+        'model': 'SimpleStar', 'render_path': str(tmp_path / 'gt'),
+        'render_format': ['fits'], 'resolution': 16, 'wavelengths': [193],
+        'batch_size': 256, 'pixel_intensity_factor': 1e9,
+        'observers': [
+            {'name': 'v', 'lat': 0.0, 'lon': 0.0, 'distance': 215.0,
+             'time': '2012-01-01T00:00:00'},
+            {'name': 'v', 'lat': 20.0, 'lon': 90.0, 'distance': 215.0,
+             'time': '2012-01-01T06:00:00'},
+        ]}
+    render_observers(config)
+
+    from sunerf_tpu.evaluation.image_render import build_model_renderer
+    renderer, params = build_model_renderer(config)   # perturb off, abs zeroed
+    path = str(tmp_path / 'save_state')
+    save_state(path, params, {'renderer_spec': renderer.spec,
+                              'ref_time': '2012-01-01T00:00:00',
+                              'wavelengths': [193]})
+    out = str(tmp_path / 'star.shlo')
+    export_serving(path, out, batch_size=256, platforms=('cpu',))
+
+    files = sorted(glob.glob(str(tmp_path / 'gt' / 'v' / '193' / '*.fits')))
+    assert len(files) == 2
+    result = evaluate_viewpoints(ServingModel(out), files, lat_split_deg=7.0)
+    assert result['train']['psnr'] > 40
+    assert result['test']['psnr'] > 40
+
+
 def test_multichannel_wavelength_default(tmp_path):
     """Multi-channel (DT) heads: the artifact fills its trained wavelengths
     when the caller passes none."""
