@@ -45,7 +45,18 @@ def main(argv=None):
     parser.add_argument('--batch-size', type=int, default=4096)
     args = parser.parse_args(argv)
 
-    loader = SuNeRFLoader(args.state, batch_size=args.batch_size)
+    if args.state.endswith('.shlo'):
+        # serving artifact: products built from render_observer_image /
+        # load_coords work; synchronic & uncertainty need live renderer
+        # internals (coarse/fine pass access) — use the bundle for those
+        if args.product in ('synchronic', 'uncertainty'):
+            parser.error(f'{args.product} needs the live renderer '
+                         '(coarse/fine internals); pass the save_state '
+                         'bundle instead of the .shlo artifact')
+        from sunerf_tpu.evaluation.serving import ServingModel
+        loader = ServingModel(args.state)
+    else:
+        loader = SuNeRFLoader(args.state, batch_size=args.batch_size)
     lat, lon = np.deg2rad(args.lat), np.deg2rad(args.lon)
     wl = args.wavelengths
 

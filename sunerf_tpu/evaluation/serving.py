@@ -265,6 +265,11 @@ class ServingModel:
                 for i in range(0, q.shape[0], bs)]
         return np.concatenate(outs)[:n]
 
+    # `ModelLoader.load_coords` alias so products that only need direct
+    # field queries (volume extraction) accept artifacts interchangeably
+    def load_coords(self, query_points, batch_size=None) -> np.ndarray:
+        return self.query_points(query_points)
+
     def normalize_time(self, time) -> float:
         if isinstance(time, datetime):
             ref = self.meta.get('ref_time')

@@ -281,6 +281,23 @@ def test_metrics_harness_accepts_artifact(tmp_path):
     assert result['test']['psnr'] > 40
 
 
+def test_products_cli_accepts_artifact(bundle, tmp_path):
+    """Volume extraction runs from a .shlo (load_coords alias); the
+    products needing live internals reject it with a clear error."""
+    from sunerf_tpu.evaluation.products import main as products_main
+    path, _, _ = bundle
+    out = str(tmp_path / 'model.shlo')
+    export_serving(path, out, batch_size=64, platforms=('cpu',))
+    vol = str(tmp_path / 'volume.npz')
+    products_main(['volume', '--state', out, '--output', vol,
+                   '--resolution', '8'])
+    with np.load(vol) as f:
+        assert f[f.files[0]].shape[0] == 8
+    with pytest.raises(SystemExit):
+        products_main(['synchronic', '--state', out,
+                       '--output', str(tmp_path / 'x.npz')])
+
+
 def test_multichannel_wavelength_default(tmp_path):
     """Multi-channel (DT) heads: the artifact fills its trained wavelengths
     when the caller passes none."""
