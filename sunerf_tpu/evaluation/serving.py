@@ -195,6 +195,12 @@ class ServingModel:
             self._sharding = NamedSharding(mesh, PartitionSpec('data'))
         # one jitted chunk program; XLA compiles per platform on first call
         self._call = jax.jit(self._exported.call)
+        # multi-chunk renders in ONE dispatch (lax.map over the exported
+        # call) — per-chunk Python dispatch costs a tunnel round trip each
+        # on the remote-TPU backend (the ModelLoader lesson, loader.py)
+        self._call_many = jax.jit(
+            lambda ro, rd, t, wl: jax.lax.map(
+                lambda args: self._exported.call(*args), (ro, rd, t, wl)))
         self._points_call = (jax.jit(jax_export.deserialize(pblob).call)
                              if pblob is not None else None)
 
@@ -228,6 +234,20 @@ class ServingModel:
 
         rays_o, rays_d = padded(rays_o), padded(rays_d)
         times, wl = padded(times), padded(wl)
+        n_chunks = n_pad // bs
+
+        if self._sharding is None and n_chunks > 1:
+            # single dispatch for the whole render
+            # explicit last dim: -1 is ill-defined for 0-channel wl arrays
+            chunk = lambda x: jnp.asarray(x).reshape(n_chunks, bs,
+                                                     x.shape[-1])
+            img, hm, am = self._call_many(chunk(rays_o), chunk(rays_d),
+                                          chunk(times), chunk(wl))
+            return {
+                'image': np.asarray(img).reshape(n_pad, -1)[:n],
+                'height_map': np.asarray(hm).reshape(n_pad)[:n],
+                'absorption_map': np.asarray(am).reshape(n_pad)[:n],
+            }
 
         def put(x):
             # device_put straight from host: one sharded transfer, no
