@@ -177,13 +177,15 @@ def main(argv=None):
                         n_stratified=24, n_hierarchical=48,
                         coarse_config=proposal)),
                     # learned feature-grid encoding (ops/grid_encoding.py):
-                    # a grid-fed 4x128 fine field at the quarter budget —
-                    # capacity-proven (RESULTS.md CPU A/B); psi_193 protocol
-                    # quality PENDING (PSI_GRID_r3) — treat as a throughput
-                    # ceiling probe until those rows land
+                    # a grid-fed 4x128 fine field at the quarter budget.
+                    # Layout switched 16+32 -> 16-ONLY per the CPU
+                    # overfit-fix matrix (RESULTS.md: 16-only = +2.7 dB
+                    # test PSNR over plain at matched SSIM; the 32^3 level
+                    # is the view-overfit mechanism); TPU quality
+                    # arbitration row queued (queue10)
                     ('grid_quarter', dict(
                         model_config=emission_config(
-                            n_layers=4, d_filter=128, grid_sizes=(16, 32),
+                            n_layers=4, d_filter=128, grid_sizes=(16,),
                             grid_features=8, grid_bound=1.3),
                         n_stratified=24, n_hierarchical=48,
                         coarse_config=proposal)),
