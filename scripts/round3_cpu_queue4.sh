@@ -1,13 +1,15 @@
 #!/bin/bash
 # Round-3 CPU mini queue, part 4: temporal-grid (grid_time / HexPlane)
-# evidence on the temporal closed loop — the venue the 4-D factorization
-# was built for. Mini shapes (frames 4, views 6, res 48, 1200 steps) on
-# the 1-core host; the A/B is plain n_freqs_time=2 (the validated round-1
-# temporal encoding) vs + a 32^3x8 rank-16 space-time grid.
+# ATTRIBUTION on the temporal closed loop. This scene evolves SLOWLY
+# (0.5 rad drift) — the capacity sweep (RESULTS.md) predicts static VM
+# wins here and vm_time is neutral-to-negative; the run tests that
+# prediction in the render protocol (the fast-drift dense-cadence case
+# where vm_time wins is the round-4 TPU item). Frames 6 (not 4): the
+# sweep showed 4-frame cadence makes vm_time silently overfit.
 # Chained after round3_cpu_queue3.sh (single core — never overlap).
 set -u
 cd /root/repo
-COMMON="--platform cpu --frames 4 --views 6 --steps 1200 --resolution 48
+COMMON="--platform cpu --frames 6 --views 6 --steps 1200 --resolution 48
         --n-stratified 24 --n-hierarchical 48"
 echo "=== cpu_queue4 start $(date) ==="
 

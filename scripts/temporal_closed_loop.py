@@ -147,6 +147,12 @@ def main():
         os.path.join(workdir, 'work'), batch_size=1024)
 
     grid_kwargs, optim_kwargs, tv = {}, {}, {}
+    if args.grid_size and args.grid_time and args.frames < 8:
+        print(f'WARNING: grid_time={args.grid_time} with only '
+              f'{args.frames} frames — the temporal tables silently '
+              'overfit sparse cadences (unseen-time error exploded 10x at '
+              '4 frames, RESULTS.md capacity sweep); prefer --grid-time 0 '
+              'or more frames', file=sys.stderr)
     if args.grid_size:
         # training times are normalized to [0, 1] (frames at f/(F-1) model
         # days, ref_time = the first frame) — the tplane window matches

@@ -80,6 +80,10 @@ class NeRFConfig:
     # grid_time_range in model time, so temporal evolution is carried by
     # low-rank table rows rather than only the sin/cos time bands. 0 = the
     # static vm_encode. XLA path only (as grid_rank).
+    # VALUE CASE IS TWO-SIDED (RESULTS.md temporal capacity sweep): wins
+    # for fast evolution at dense observation cadence (>= ~8 frames); at
+    # sparse cadence it SILENTLY overfits frames — trained-time metrics
+    # look excellent while unseen-time error explodes ~10x.
     grid_time: int = 0
     grid_time_range: tuple = (0.0, 1.0)
     # fused-kernel hat-build strategy (numerics-equivalent up to bf16
