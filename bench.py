@@ -177,12 +177,13 @@ def main(argv=None):
                         n_stratified=24, n_hierarchical=48,
                         coarse_config=proposal)),
                     # learned feature-grid encoding (ops/grid_encoding.py):
-                    # a grid-fed 4x128 fine field at the quarter budget.
-                    # Layout switched 16+32 -> 16-ONLY per the CPU
-                    # overfit-fix matrix (RESULTS.md: 16-only = +2.7 dB
-                    # test PSNR over plain at matched SSIM; the 32^3 level
-                    # is the view-overfit mechanism); TPU quality
-                    # arbitration row queued (queue10)
+                    # a grid-fed 4x128 fine field at the quarter budget —
+                    # the fastest TRAINING config measured (216.4k rays/s
+                    # on the psi protocol) but NOT quality-matched there:
+                    # the TPU arbitration row (PSI_GRID_r3, 12.5k steps)
+                    # shows the CPU 16-only win does not survive the real
+                    # schedule (test -2 dB vs prop_24_48; RESULTS.md).
+                    # Kept as the capacity/dense-supervision config.
                     ('grid_quarter', dict(
                         model_config=emission_config(
                             n_layers=4, d_filter=128, grid_sizes=(16,),
