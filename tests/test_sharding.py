@@ -174,3 +174,50 @@ def test_sharded_tiered_train_step_runs():
         state, metrics = step(state, sbatch, jax.random.key(3))
     assert np.isfinite(float(metrics['loss']))
     assert not np.array_equal(before, np.asarray(state.params['fine']['w_in']))
+
+
+def test_initialize_multihost_explicit_args_raise(monkeypatch):
+    """Explicit coordinator args + failed init must RAISE (VERDICT r3 #6):
+    a misconfigured pod must not silently degrade to single-host."""
+    import pytest
+
+    from sunerf_tpu.parallel import mesh as mesh_mod
+
+    def boom(**kwargs):
+        raise ValueError('coordinator unreachable')
+
+    monkeypatch.setattr(jax.distributed, 'initialize', boom)
+    with pytest.raises(RuntimeError, match='explicit coordinator args'):
+        mesh_mod.initialize_multihost(coordinator_address='10.0.0.1:1234',
+                                      num_processes=4, process_id=0)
+
+
+def test_initialize_multihost_autodetect_warns(monkeypatch):
+    """No-arg auto-detect failure is the normal single-host path: warn,
+    don't raise."""
+    import pytest
+
+    from sunerf_tpu.parallel import mesh as mesh_mod
+
+    def boom(**kwargs):
+        raise ValueError('no TPU metadata server')
+
+    monkeypatch.setattr(jax.distributed, 'initialize', boom)
+    with pytest.warns(RuntimeWarning, match='continuing single-host'):
+        mesh_mod.initialize_multihost()
+
+
+def test_initialize_multihost_success_path(monkeypatch):
+    """A successful init passes the args through verbatim."""
+    from sunerf_tpu.parallel import mesh as mesh_mod
+
+    seen = {}
+
+    def fake_init(**kwargs):
+        seen.update(kwargs)
+
+    monkeypatch.setattr(jax.distributed, 'initialize', fake_init)
+    mesh_mod.initialize_multihost(coordinator_address='host:99',
+                                  num_processes=2, process_id=1)
+    assert seen == {'coordinator_address': 'host:99', 'num_processes': 2,
+                    'process_id': 1}
