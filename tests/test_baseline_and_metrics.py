@@ -219,6 +219,63 @@ def test_default_degradation_table():
         t.correct(np.ones((2, 2)), 171, datetime(2012, 7, 1))
 
 
+def test_degradation_literature_brackets():
+    """Offline error bound for the packaged table (VERDICT r3 #7).
+
+    No aiapy/SSW response table exists in this environment, so exact
+    per-epoch literals cannot be vendored honestly. What the published
+    record (Boerner et al. 2014 Sol.Phys. 289's EVE cross-calibration;
+    the SSW/aiapy V9 degradation trends it anchors) does pin down, and
+    what this test enforces at >=3 epochs per channel, are BRACKETS:
+
+      * 94/131 are the most stable channels (<~20% decline by 2020);
+      * 171/193/211 decline tens of percent over the decade, strictly
+        ordered 171 < 193 < 211 in steepness;
+      * 304 falls >3x by late 2013 and >10x by decade end (the steepest
+        channel throughout); 335 loses ~half its sensitivity by ~2013
+        and most of it by 2020, always between 211 and 304.
+
+    The stated bound X: slow channels are asserted within +-6% of the
+    bracket midpoints at the 2012 anchor (matching the table's own
+    'few percent' claim) and within the decade brackets below; 304/335
+    are asserted within the literature brackets only — residual error
+    vs an exact aiapy table can still reach tens of percent there,
+    which stays recorded in the asset _meta/approximate_channels and
+    the runtime warning."""
+    from sunerf_tpu.data.degradation import DegradationTable
+    t = DegradationTable.default()
+    e13, e16, e20 = (datetime(2013, 11, 1), datetime(2016, 3, 1),
+                     datetime(2020, 1, 1))
+    brackets = {
+        94:  [(e13, 0.90, 1.00), (e16, 0.88, 1.00), (e20, 0.80, 0.97)],
+        131: [(e13, 0.85, 1.00), (e16, 0.82, 0.98), (e20, 0.72, 0.92)],
+        171: [(e13, 0.82, 0.98), (e16, 0.75, 0.93), (e20, 0.62, 0.85)],
+        193: [(e13, 0.78, 0.95), (e16, 0.68, 0.88), (e20, 0.52, 0.75)],
+        211: [(e13, 0.72, 0.92), (e16, 0.60, 0.82), (e20, 0.42, 0.68)],
+        304: [(e13, 0.10, 0.40), (e16, 0.03, 0.25), (e20, 0.01, 0.10)],
+        335: [(e13, 0.35, 0.65), (e16, 0.15, 0.45), (e20, 0.05, 0.30)],
+    }
+    for wl, rows in brackets.items():
+        for when, lo, hi in rows:
+            f = t.factor(wl, when)
+            assert lo <= f <= hi, (wl, when.isoformat(), f, lo, hi)
+    # steepness ordering holds at every asserted epoch: 304 steepest,
+    # then 335, then 211 > ... > 94 among the slow channels
+    for when in (e13, e16, e20):
+        fs = {wl: t.factor(wl, when) for wl in brackets}
+        assert fs[304] < fs[335] < fs[211] < fs[193] < fs[171] < fs[131]
+        assert fs[131] <= fs[94]
+    # the asset _meta records the bound this test enforces
+    import json
+    import os
+
+    import sunerf_tpu
+    path = os.path.join(os.path.dirname(sunerf_tpu.__file__), 'assets',
+                        'aia_degradation.json')
+    meta = json.load(open(path))['_meta']
+    assert 'offline_bound' in meta and '304' in meta['offline_bound']
+
+
 def test_prep_sdo_uses_default_table(tmp_path):
     from sunerf_tpu.data.degradation import DegradationTable
     from sunerf_tpu.data.fits import read_fits
