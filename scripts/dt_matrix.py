@@ -30,6 +30,15 @@ CONFIGS = [
     ('dt_tiered_half', 14000, ['--proposal-coarse', '--n-stratified', '32',
                                '--n-hierarchical', '64', '--tier-fraction',
                                '0.5', '--tier-samples', '16']),
+    # tier warmup: the un-warmed tiered rows collapse to the zero-output
+    # constant on this scene (the dim tier samples an untrained coarse
+    # CDF and the multiplicative DT head starves — see the tiered rows
+    # above / TrainerConfig.tier_warmup_steps); first 1750 steps run the
+    # full budget, then the tiers engage
+    ('dt_tiered_warm', 14000, ['--proposal-coarse', '--n-stratified', '32',
+                               '--n-hierarchical', '64', '--tier-fraction',
+                               '0.5', '--tier-samples', '16',
+                               '--tier-warmup-steps', '1750']),
 ]
 
 
@@ -52,6 +61,9 @@ def run_signature(steps, extra, seed):
         'tier_samples': int(val('--tier-samples', 16)),
         'seed': seed,
     }
+    warmup = int(val('--tier-warmup-steps', 0))
+    if warmup:
+        sig['tier_warmup_steps'] = warmup
     return sig
 
 

@@ -89,6 +89,11 @@ def main():
     parser.add_argument('--coarse-filter', type=int, default=128)
     parser.add_argument('--tier-fraction', type=float, default=0.0)
     parser.add_argument('--tier-samples', type=int, default=16)
+    parser.add_argument('--tier-warmup-steps', type=int, default=0,
+                        help='train the first N steps at the full fine '
+                             'budget before enabling the tiers (the DT '
+                             'head collapses when the dim tier samples '
+                             'from an untrained coarse CDF)')
     parser.add_argument('--model-layers', type=int, default=8)
     parser.add_argument('--model-filter', type=int, default=512)
     parser.add_argument('--keep-best', action='store_true',
@@ -200,6 +205,7 @@ def main():
                                  lr_iterations=args.steps, lr_floor=1e-4),
         spike_guard=None,
         trainer_config=TrainerConfig(
+            tier_warmup_steps=args.tier_warmup_steps,
             total_steps=args.steps,
             val_every=(max(args.steps // 8, 1) if args.keep_best
                        else args.steps),
@@ -239,6 +245,8 @@ def main():
            'workdir': workdir}
     if (args.model_layers, args.model_filter) != (8, 512):
         out['config']['model_shape'] = [args.model_layers, args.model_filter]
+    if args.tier_warmup_steps:
+        out['config']['tier_warmup_steps'] = args.tier_warmup_steps
     if args.keep_best:
         out['config']['keep_best'] = True
         out['scored_bundle'] = os.path.basename(bundle)

@@ -69,6 +69,19 @@ class TrainerConfig:
     # bundle; save() writes a save_state_ema deployment variant.
     # 0.0 = off (reference parity). Typical: 0.999.
     ema_decay: float = 0.0
+    # Tier warmup (curriculum for the adaptive per-ray budgets,
+    # renderer.tier_fraction): the tiered fine pass places the dim tier's
+    # samples from the coarse pass's CDF, which is uninformative at init.
+    # On the DT head's multiplicative parametrization that starves half
+    # the batch of gradient signal early and can collapse training into
+    # the zero-output constant (DT_MATRIX_r4 dt_tiered_half: train
+    # latched at the scene constant by step 1400 while the untier'd
+    # proposal row trained fine on the same scene/seed). For the first
+    # tier_warmup_steps the Trainer steps a full-budget clone of the
+    # renderer (tier_fraction=0); the switch is a host-side swap between
+    # two jitted programs, so shapes stay static inside each XLA program.
+    # 0 = off (tiers from step 0, round-3 behavior).
+    tier_warmup_steps: int = 0
 
 
 class Trainer:
@@ -96,6 +109,16 @@ class Trainer:
                                        mesh=mesh, microbatch=microbatch,
                                        spike_guard=spike_guard,
                                        ema_decay=ema_decay)
+        self.warmup_step_fn = None
+        if trainer_config.tier_warmup_steps and \
+                getattr(renderer, 'tier_fraction', 0.0):
+            # full-budget program for steps [0, tier_warmup_steps) — same
+            # TrainState layout, so the two programs alternate freely
+            warm = dataclasses.replace(renderer, tier_fraction=0.0)
+            self.warmup_step_fn = make_train_step(
+                warm, loss_config, self.optimizer, mesh=mesh,
+                microbatch=microbatch, spike_guard=spike_guard,
+                ema_decay=ema_decay)
         self.eval_fn = make_eval_step(renderer, mesh=mesh)
         self._eval_many = self._make_eval_many()
         self.loss_config = loss_config
@@ -247,7 +270,10 @@ class Trainer:
             t0 = float(batch['time'].ravel()[0])  # host-side, no device sync
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
-            self.state, metrics = self.step_fn(self.state, batch, key)
+            fn = (self.warmup_step_fn
+                  if self.warmup_step_fn is not None
+                  and step < cfg.tier_warmup_steps else self.step_fn)
+            self.state, metrics = fn(self.state, batch, key)
             timer.tick(batch['rays'].shape[0])
 
             if self._occ_update_fn is not None:

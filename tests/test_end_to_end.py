@@ -624,3 +624,69 @@ def test_thomson_closed_loop():
         if first is None:
             first = float(metrics['loss'])
     assert float(metrics['loss']) < first, 'Thomson training did not improve'
+
+
+def test_tier_warmup_swaps_programs(rendered_views, tmp_path):
+    """TrainerConfig.tier_warmup_steps: the Trainer must run a full-budget
+    (tier_fraction=0) program for the first N steps, then swap to the tiered
+    program — the curriculum that prevents the DT head's zero-output collapse
+    when the dim tier samples an untrained coarse CDF (DT_MATRIX_r4
+    dt_tiered_half vs dt_tiered_warm)."""
+    tmp_path_renders, config, _ = rendered_views
+
+    from sunerf_tpu.data.loaders import build_single_channel_data
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig
+
+    data = build_single_channel_data(
+        str(tmp_path_renders / 'renders' / 'aia' / '193' / '*.fits'),
+        str(tmp_path / 'work'), batch_size=128)
+
+    renderer, init = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32),
+        n_stratified=8, n_hierarchical=8,
+        tier_fraction=0.5, tier_samples=4)
+    common = dict(
+        loss_config=LossConfig(scaling_vmax=10.0),
+        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3))
+
+    trainer = Trainer(
+        renderer, init, data, workdir=str(tmp_path / 'warm'),
+        trainer_config=TrainerConfig(total_steps=8, tier_warmup_steps=4,
+                                     val_every=8, checkpoint_every=8,
+                                     log_every=8, save_val_images=False),
+        **common)
+    assert trainer.warmup_step_fn is not None
+
+    calls = {'warm': 0, 'tiered': 0}
+
+    def counted(fn, name):
+        def inner(*a, **kw):
+            calls[name] += 1
+            return fn(*a, **kw)
+        return inner
+
+    trainer.warmup_step_fn = counted(trainer.warmup_step_fn, 'warm')
+    trainer.step_fn = counted(trainer.step_fn, 'tiered')
+    trainer.fit()
+    assert calls == {'warm': 4, 'tiered': 4}
+
+    # warmup=0 (round-3 behavior) and untiered renderers build no second
+    # program — a tiny guard against paying a second trace for nothing
+    t2 = Trainer(renderer, init, data, workdir=str(tmp_path / 'nowarm'),
+                 trainer_config=TrainerConfig(total_steps=2,
+                                              save_val_images=False),
+                 **common)
+    assert t2.warmup_step_fn is None
+    untiered, init_u = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32),
+        n_stratified=8, n_hierarchical=8)
+    t3 = Trainer(untiered, init_u, data, workdir=str(tmp_path / 'untiered'),
+                 trainer_config=TrainerConfig(total_steps=2,
+                                              tier_warmup_steps=4,
+                                              save_val_images=False),
+                 **common)
+    assert t3.warmup_step_fn is None
