@@ -53,9 +53,10 @@ def main():
     renderer, params = loader.renderer, loader.params
     # the closed-loop recipe's scaling (temporal_closed_loop.py LossConfig)
     vmax, a = 10.0, 0.005
+    from datetime import datetime
     Rs_per_ds = meta['Rs_per_ds']
     seconds_per_dt = meta['seconds_per_dt']
-    ref_time = meta['ref_time']
+    ref_time = datetime.fromisoformat(meta['ref_time'])
 
     @jax.jit
     def render_all(params, rays_p, times):
