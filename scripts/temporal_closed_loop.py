@@ -28,13 +28,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synth_cubes(data_path: str, n_frames: int):
+def synth_cubes(data_path: str, n_frames: int, drift: float = 0.5,
+                amp_max: float = 4.0):
     """F frames of (rho, T): hydrostatic corona + evolving streamer.
 
     rho(r, th, ph, f) = 1e8 exp((1/r - 1)/0.1)
                         * (1 + a(f) * streamer(th, ph - ph0(f)))
-    with amplitude a: 1.5 -> 4.0 and streamer longitude drifting 0.5 rad
-    across the sequence; T = 1.5 MK (the DT head reads temp * 1e6).
+    with amplitude a: 1.5 -> amp_max and streamer longitude drifting
+    `drift` rad across the sequence; T = 1.5 MK (the DT head reads
+    temp * 1e6). drift=0.5 is the slow-evolution scene (CPU A/B);
+    the dense-cadence TPU case uses drift ~2.0 (fast evolution, where
+    the capacity sweep says temporal tables pay, RESULTS.md).
     """
     from sunerf_tpu.data.psi_io import wrhdf_3d
     r = np.linspace(1.0, 1.3, 24)
@@ -45,8 +49,8 @@ def synth_cubes(data_path: str, n_frames: int):
     PH = ph[:, None, None]
     for f in range(n_frames):
         s = f / max(n_frames - 1, 1)
-        a = 1.5 + 2.5 * s
-        ph0 = 1.0 + 0.5 * s
+        a = 1.5 + (amp_max - 1.5) * s
+        ph0 = 1.0 + drift * s
         dph = np.angle(np.exp(1j * (PH - ph0)))  # wrapped angular distance
         streamer = np.exp(-(dph ** 2) / 0.1 - ((TH - np.pi / 2) ** 2) / 0.05)
         rho = 1e8 * np.exp((1.0 / R - 1.0) / 0.1) * (1.0 + a * streamer)
@@ -84,6 +88,12 @@ def render_set(workdir, sub, data_path, observers, resolution, pif):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--frames', type=int, default=6)
+    parser.add_argument('--drift', type=float, default=0.5,
+                        help='streamer longitude drift (rad) across the '
+                             'sequence; 0.5 = slow evolution, ~2.0 = the '
+                             'fast-evolution dense-cadence case')
+    parser.add_argument('--amp-max', type=float, default=4.0,
+                        help='final streamer amplitude (starts at 1.5)')
     parser.add_argument('--views', type=int, default=10)
     parser.add_argument('--steps', type=int, default=4000)
     parser.add_argument('--resolution', type=int, default=128)
@@ -124,7 +134,8 @@ def main():
 
     workdir = args.workdir or tempfile.mkdtemp(prefix='temporal_loop_')
     data_path = os.path.join(workdir, 'cubes')
-    synth_cubes(data_path, args.frames)
+    synth_cubes(data_path, args.frames, drift=args.drift,
+                amp_max=args.amp_max)
 
     # calibrate pixel_intensity_factor so the brightest frame peaks ~3
     # (the asinh scaling_vmax=10 operating range of the closed-loop recipe)
@@ -228,6 +239,7 @@ def main():
 
     print(json.dumps({
         'frames': F, 'views_per_time': V, 'steps': args.steps,
+        'drift': args.drift, 'amp_max': args.amp_max,
         'budget': [args.n_stratified, args.n_hierarchical],
         **({'grid': {'size': args.grid_size, 'rank': args.grid_rank,
                      'time': args.grid_time, 'table_tv': args.table_tv}}
