@@ -230,7 +230,16 @@ def main(argv=None):
                     qm / ESTIMATED_REFERENCE_RAYS_PER_SEC, 3),
                 quality_matched_evidence='3-seed equal-wall-clock psi_193 '
                     'protocol: test PSNR 28.57+-1.10 vs parity 27.67+-1.36, '
-                    'SSIM 0.889 vs 0.880 (PSI_MATRIX_r3.jsonl; RESULTS.md)')
+                    'SSIM 0.889 vs 0.880 (PSI_MATRIX_r3.jsonl; RESULTS.md); '
+                    'survives the shipped 200k-step 256px schedule at '
+                    '+2.93 dB over parity (SCALE_PROOF_r4.jsonl)',
+                dt_quality_matched_config='dt proposal 4x128 + 24+48',
+                dt_quality_matched_x=3.22,
+                dt_quality_matched_evidence='3-seed equal-wall-clock '
+                    'multi-thermal MHD protocol: test PSNR 26.94+-1.12 vs '
+                    'parity 20.01+-5.97 at 3.22x measured DT throughput '
+                    '(153.5k vs 47.6k rays/s, DT_MATRIX_r4.jsonl; '
+                    'RESULTS.md round-4 DT section)')
 
     if args.mesh:
         n = jax.device_count()
