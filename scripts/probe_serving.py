@@ -42,6 +42,10 @@ def main():
     parser.add_argument('--batch-size', type=int, default=8192)
     parser.add_argument('--platform', default=None)
     parser.add_argument('--tier', default=None, metavar='FRAC,SAMPLES')
+    parser.add_argument('--no-fused', action='store_true',
+                        help='export the artifact WITHOUT the fused-kernel '
+                             'tpu module (the round-3/early-round-4 '
+                             'XLA-path-only behavior, for A/B)')
     parser.add_argument('--out', default=None)
     args = parser.parse_args()
 
@@ -64,7 +68,7 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         shlo = os.path.join(td, 'model.shlo')
         export_serving(args.state, shlo, batch_size=args.batch_size,
-                       tier=tier)
+                       tier=tier, fused_tpu=not args.no_fused)
         model = ServingModel(shlo)
 
         def live():
@@ -86,6 +90,7 @@ def main():
     result = {
         'resolution': args.resolution, 'batch_size': args.batch_size,
         'tier': list(tier) if tier else None,
+        'fused_active': bool(getattr(model, 'fused_active', False)),
         'live_s': round(t_live, 3), 'served_s': round(t_served, 3),
         'live_rays_per_sec': round(n_rays / t_live, 1),
         'served_rays_per_sec': round(n_rays / t_served, 1),

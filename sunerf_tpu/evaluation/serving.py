@@ -17,10 +17,19 @@ answer: one traced program, static shapes, XLA-compiled on load.
 Design notes (TPU-first):
 - Fixed batch size per artifact (default 4096 rays). Static shapes are the
   TPU contract; `ServingModel` pads/chunks arbitrary ray counts.
-- Exported from the XLA path (use_fused=False): the fused Pallas kernel is
-  a TRAINING-path optimization (its win is the stashing backward); the
-  forward-only render is MXU-bound either way, and the XLA path lowers
-  portably to every platform.
+- Two render modules per artifact (fused_tpu=True, the default): a
+  portable XLA-path module lowered for every requested platform, plus a
+  tpu-only module whose field evaluation is the fused Pallas MLP kernel
+  (`tpu_custom_call` is on jax.export's guaranteed-stable list).
+  ServingModel executes the fused module when it finds itself on a TPU.
+  Round-4 measurement (SERVING_r4.json) showed the XLA-path artifact
+  renders the flagship 8x512 field 2.13x slower than live — the XLA
+  forward is jnp.sin-bound (~80 VPU ops per sin), which only the kernel
+  avoids — so the original "forward render is MXU-bound either way"
+  design note held for small fields only. One cpu+tpu module with a
+  `lax.platform_dependent` switch canNOT carry the kernel: jax's cond
+  lowering lowers the kept tpu branch's interior for every module
+  platform, and pallas_call's cpu rule raises at lowering.
 - Deterministic quadrature (key=None -> midpoint sampling), the inference
   contract the evaluation loaders use.
 """
@@ -42,6 +51,7 @@ import numpy as np
 # lowered-for-N-devices failure.
 FORMAT_VERSION = 2
 _BLOB_NAME = 'render.stablehlo'
+_FUSED_BLOB_NAME = 'render.tpu_fused.stablehlo'
 _POINTS_BLOB_NAME = 'points.stablehlo'
 _META_NAME = 'meta.json'
 
@@ -50,7 +60,8 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
                    platforms: Sequence[str] = ('cpu', 'tpu'),
                    render_overrides: Optional[dict] = None,
                    n_devices: int = 1,
-                   tier: Optional[tuple] = None) -> dict:
+                   tier: Optional[tuple] = None,
+                   fused_tpu: bool = True) -> dict:
     """Export a deployment bundle (save_state npz+json) to a serving artifact.
 
     Args:
@@ -73,6 +84,16 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
             coarse pass, renders at `samples` samples). Off-disk pixels
             dominate full-disk frames, so this roughly halves serve cost
             at a small quality cost on dim pixels.
+        fused_tpu: also embed a tpu-only render module whose field
+            evaluation is the fused Pallas MLP kernel; ServingModel
+            prefers it when running on a TPU. `tpu_custom_call` is on
+            jax.export's guaranteed-stable list, so the artifact stays
+            within the export compatibility contract. Without this the
+            flagship 8x512 artifact renders ~2.1x slower than live — the
+            XLA forward is jnp.sin-bound (SERVING_r4.json). VM/temporal
+            grid configs (grid_rank) skip the fused module (the kernel
+            has dense-table support only; live runs use the XLA path
+            there too).
 
     Returns:
         The artifact metadata dict (also stored inside the artifact).
@@ -89,25 +110,32 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
     if render_overrides:
         spec = dict(spec,
                     render=dict(spec.get('render', {}), **render_overrides))
-    renderer, _ = from_spec(spec, use_fused=False)
     if tier is not None:
-        import dataclasses
         tier = (float(tier[0]), int(tier[1]))
         if not 0.0 < tier[0] < 1.0:
             raise ValueError(f'tier fraction must be in (0, 1), got '
                              f'{tier[0]} (0 would silently export a '
                              'full-budget artifact)')
-        renderer = dataclasses.replace(
-            renderer, tier_fraction=tier[0],
-            tier_samples=tier[1], tier_eval=True)
+
+    def build_renderer(use_fused):
+        import dataclasses
+        r, _ = from_spec(spec, use_fused=use_fused)
+        if tier is not None:
+            r = dataclasses.replace(r, tier_fraction=tier[0],
+                                    tier_samples=tier[1], tier_eval=True)
+        return r
+
+    renderer = build_renderer(False)
 
     wavelengths = config.get('wavelengths')
     n_ch = len(wavelengths) if wavelengths else 0
 
-    def render_fn(rays_o, rays_d, times, wl):
-        out = renderer(params, rays_o, rays_d, times, key=None,
-                       wavelengths=wl)
-        return out['image'], out['height_map'], out['absorption_map']
+    def make_render_fn(r):
+        def render_fn(rays_o, rays_d, times, wl):
+            out = r(params, rays_o, rays_d, times, key=None,
+                    wavelengths=wl)
+            return out['image'], out['height_map'], out['absorption_map']
+        return render_fn
 
     if n_devices > 1:
         if batch_size % n_devices:
@@ -116,15 +144,31 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
         from jax.sharding import AbstractMesh, NamedSharding, PartitionSpec
         amesh = AbstractMesh((n_devices,), ('data',))
         shard = NamedSharding(amesh, PartitionSpec('data'))
-        jitted = jax.jit(render_fn, in_shardings=(shard,) * 4,
-                         out_shardings=(shard,) * 3)
+        jit_render = lambda fn: jax.jit(fn, in_shardings=(shard,) * 4,
+                                        out_shardings=(shard,) * 3)
     else:
-        jitted = jax.jit(render_fn)
+        jit_render = jax.jit
 
     sh = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32)
-    exported = jax_export.export(jitted, platforms=list(platforms))(
-        sh(batch_size, 3), sh(batch_size, 3), sh(batch_size, 1),
-        sh(batch_size, n_ch))
+    render_args = (sh(batch_size, 3), sh(batch_size, 3), sh(batch_size, 1),
+                   sh(batch_size, n_ch))
+    exported = jax_export.export(
+        jit_render(make_render_fn(renderer)),
+        platforms=list(platforms))(*render_args)
+
+    # Optional second render module: tpu-only, field evaluated through the
+    # fused Pallas kernel (a single cpu+tpu module cannot carry the kernel —
+    # see systems._select_apply('export')). ServingModel picks this blob
+    # when it runs on a TPU; every other platform uses the portable module
+    # above. Skipped for VM/temporal grid configs (kernel supports dense
+    # tables only; the XLA path is what live runs use there too).
+    fused_blob = None
+    mc = spec.get('model_config') or {}
+    if fused_tpu and 'tpu' in platforms and not mc.get('grid_rank'):
+        exported_fused = jax_export.export(
+            jit_render(make_render_fn(build_renderer('export'))),
+            platforms=['tpu'])(*render_args)
+        fused_blob = exported_fused.serialize()
 
     # second entry point: direct field query for volume products (density/
     # temperature cubes etc. — the `ModelLoader.load_coords` contract);
@@ -140,6 +184,7 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
         'batch_size': int(batch_size),
         'n_devices': int(n_devices),
         'tier': list(tier) if tier is not None else None,
+        'fused_tpu': fused_blob is not None,
         'platforms': list(exported.platforms),
         'n_channels': n_ch,
         'wavelengths': wavelengths,
@@ -154,6 +199,8 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
         zf.writestr(_META_NAME, json.dumps(meta, indent=1))
         zf.writestr(_BLOB_NAME, exported.serialize())
         zf.writestr(_POINTS_BLOB_NAME, exported_points.serialize())
+        if fused_blob is not None:
+            zf.writestr(_FUSED_BLOB_NAME, fused_blob)
     return meta
 
 
@@ -171,14 +218,22 @@ class ServingModel:
 
         with zipfile.ZipFile(path) as zf:
             self.meta = json.loads(zf.read(_META_NAME))
+            names = zf.namelist()
             blob = zf.read(_BLOB_NAME)
+            fblob = (zf.read(_FUSED_BLOB_NAME)
+                     if _FUSED_BLOB_NAME in names else None)
             pblob = (zf.read(_POINTS_BLOB_NAME)
-                     if _POINTS_BLOB_NAME in zf.namelist() else None)
+                     if _POINTS_BLOB_NAME in names else None)
         if self.meta.get('format_version', 0) > FORMAT_VERSION:
             raise ValueError(
                 f'artifact format v{self.meta["format_version"]} is newer '
                 f'than this runtime (v{FORMAT_VERSION})')
-        self._exported = jax_export.deserialize(blob)
+        # prefer the fused-kernel tpu module when we are actually on a TPU;
+        # every other platform executes the portable XLA-path module
+        self.fused_active = (fblob is not None
+                             and jax.default_backend() == 'tpu')
+        self._exported = jax_export.deserialize(
+            fblob if self.fused_active else blob)
         self.batch_size = int(self.meta['batch_size'])
         self.n_channels = int(self.meta['n_channels'])
         self.n_devices = int(self.meta.get('n_devices', 1))

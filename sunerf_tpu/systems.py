@@ -17,10 +17,16 @@ from sunerf_tpu.models.fields import (NeRFConfig, density_temperature_config,
                                       nerf_apply_fused)
 
 
-def _select_apply(config: NeRFConfig, use_fused: Optional[bool]):
+def _select_apply(config: NeRFConfig, use_fused):
     """Pick the field evaluation path: the fused Pallas kernel on TPU (6x the
     forward, ~3x fwd+bwd vs XLA), the pure-JAX path elsewhere. use_fused
-    overrides the auto-detection."""
+    overrides the auto-detection; the string 'export' returns the fused
+    kernel with interpret=False FORCED — cross-platform lowering for a
+    tpu-only `jax.export` module built on a CPU host (the serving export's
+    fused blob, evaluation/serving.py). A `lax.platform_dependent` switch
+    inside one cpu+tpu module does NOT work here: jax's cond lowering keeps
+    the tpu branch but lowers its interior for every module platform, and
+    pallas_call's cpu rule raises — hence the two-module artifact design."""
     if use_fused is None:
         use_fused = jax.default_backend() == 'tpu'
     if use_fused and config.grid_rank:
@@ -37,6 +43,12 @@ def _select_apply(config: NeRFConfig, use_fused: Optional[bool]):
             'or plain-MLP configs (systems._select_apply)',
             stacklevel=3)
         use_fused = False
+    if use_fused == 'export':
+        # interpret=False is forced: the export host is usually CPU, where
+        # nerf_apply_fused's auto-detect would trace the (huge, unrolled)
+        # interpreter instead of emitting the tpu_custom_call.
+        return functools.partial(nerf_apply_fused, config,
+                                  compute_dpts=False, interpret=False)
     if use_fused:
         # compute_dpts=False: the renderer stop_gradients its sample points
         # (they are data / detached resamples), so the stashing backward can

@@ -247,6 +247,71 @@ def test_grid_bundle_exports(tmp_path):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_fused_tpu_blob_embedded(bundle, tmp_path):
+    """fused_tpu=True (default) with a tpu platform adds a SECOND render
+    module carrying the fused Pallas kernel (tpu_custom_call); the portable
+    module stays kernel-free, and on a CPU runtime the portable module is
+    the one executed (fused_active False) with unchanged numerics."""
+    from jax import export as jax_export
+    path, renderer, params = bundle
+    out = str(tmp_path / 'fused.shlo')
+    meta = export_serving(path, out, batch_size=64, platforms=('cpu', 'tpu'))
+    assert meta['fused_tpu'] is True
+    with zipfile.ZipFile(out) as zf:
+        assert 'render.tpu_fused.stablehlo' in zf.namelist()
+        portable = jax_export.deserialize(
+            zf.read('render.stablehlo')).mlir_module()
+        fused = jax_export.deserialize(
+            zf.read('render.tpu_fused.stablehlo')).mlir_module()
+    assert 'tpu_custom_call' not in portable
+    assert 'tpu_custom_call' in fused
+    model = ServingModel(out)
+    assert model.fused_active is False        # cpu runtime
+    ro, rd, t = _rays(64)
+    served = model(ro, rd, t)
+    live = renderer(params, jnp.asarray(ro), jnp.asarray(rd),
+                    jnp.asarray(t), key=None)
+    np.testing.assert_allclose(served['image'], np.asarray(live['image']),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_tpu_disabled_or_cpu_only(bundle, tmp_path):
+    """fused_tpu=False — and exports without a tpu platform — embed no
+    fused module, and old artifacts (no fused blob) keep loading."""
+    path, _, _ = bundle
+    a = str(tmp_path / 'nofused.shlo')
+    meta = export_serving(path, a, batch_size=32, platforms=('cpu', 'tpu'),
+                          fused_tpu=False)
+    assert meta['fused_tpu'] is False
+    b = str(tmp_path / 'cpuonly.shlo')
+    meta = export_serving(path, b, batch_size=32, platforms=('cpu',))
+    assert meta['fused_tpu'] is False
+    for art in (a, b):
+        with zipfile.ZipFile(art) as zf:
+            assert 'render.tpu_fused.stablehlo' not in zf.namelist()
+        assert ServingModel(art).fused_active is False
+
+
+def test_fused_tpu_skipped_for_vm_grid_configs(tmp_path):
+    """grid_rank (VM/temporal tables) configs get no fused module — the
+    kernel supports dense tables only (systems._select_apply)."""
+    config = emission_config(n_layers=2, d_filter=32, n_freqs=4,
+                             grid_sizes=(8,), grid_rank=4, grid_time=4,
+                             grid_time_range=(0.0, 1.0), grid_bound=1.3)
+    renderer, init = make_emission_system(model_config=config,
+                                          n_stratified=8, n_hierarchical=8,
+                                          use_fused=False)
+    params = init(jax.random.key(2))
+    path = str(tmp_path / 'save_state')
+    save_state(path, params, {'renderer_spec': renderer.spec,
+                              'type': 'emission'})
+    out = str(tmp_path / 'vm.shlo')
+    meta = export_serving(path, out, batch_size=32, platforms=('cpu', 'tpu'))
+    assert meta['fused_tpu'] is False
+    with zipfile.ZipFile(out) as zf:
+        assert 'render.tpu_fused.stablehlo' not in zf.namelist()
+
+
 def test_metrics_harness_accepts_artifact(tmp_path):
     """The metrics harness scores a .shlo artifact against ground-truth
     FITS — near-perfect metrics when the artifact re-renders its own GT."""
