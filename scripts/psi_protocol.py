@@ -330,6 +330,11 @@ def main():
            'rays_per_sec': round(rate, 1),
            'train': metrics['train'], 'test': metrics['test'],
            'workdir': workdir}
+    if args.resolution != 128:
+        # key absent at the mini-protocol default: keeps earlier rows'
+        # signatures unchanged (256 px rows written before this key exist
+        # in SCALE_PROOF_r4.jsonl; their resolution is documented there)
+        out['config']['resolution'] = args.resolution
     if (args.model_layers, args.model_filter) != (8, 512):
         # key absent at reference parity: keeps earlier rows' signatures
         # (and so psi_matrix.py idempotency) unchanged
