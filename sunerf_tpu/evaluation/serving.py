@@ -160,11 +160,19 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
     # fused Pallas kernel (a single cpu+tpu module cannot carry the kernel —
     # see systems._select_apply('export')). ServingModel picks this blob
     # when it runs on a TPU; every other platform uses the portable module
-    # above. Skipped for VM/temporal grid configs (kernel supports dense
-    # tables only; the XLA path is what live runs use there too).
+    # above. Skipped when the fused module would not differ or not work:
+    #   - VM/temporal grid configs (grid_rank): kernel supports dense tables
+    #     only; the XLA path is what live runs use there too.
+    #   - non-NeRF heads (simple_star / mhd): no MLP field, nothing to fuse.
+    #   - sharded exports (n_devices > 1): a pallas_call under jit's
+    #     automatic partitioning (no shard_map) is not partitionable; the
+    #     multi-chip artifact keeps the XLA path.
     fused_blob = None
     mc = spec.get('model_config') or {}
-    if fused_tpu and 'tpu' in platforms and not mc.get('grid_rank'):
+    nerf_head = spec.get('head') in ('emission', 'density_temperature',
+                                     'thomson')
+    if (fused_tpu and 'tpu' in platforms and nerf_head
+            and not mc.get('grid_rank') and n_devices == 1):
         exported_fused = jax_export.export(
             jit_render(make_render_fn(build_renderer('export'))),
             platforms=['tpu'])(*render_args)

@@ -312,6 +312,18 @@ def test_fused_tpu_skipped_for_vm_grid_configs(tmp_path):
         assert 'render.tpu_fused.stablehlo' not in zf.namelist()
 
 
+def test_fused_tpu_skipped_for_sharded_exports(bundle, tmp_path):
+    """n_devices>1 exports keep the XLA path only — a pallas_call under
+    jit's automatic partitioning (no shard_map) is not partitionable."""
+    path, _, _ = bundle
+    out = str(tmp_path / 'sharded.shlo')
+    meta = export_serving(path, out, batch_size=64,
+                          platforms=('cpu', 'tpu'), n_devices=8)
+    assert meta['fused_tpu'] is False
+    with zipfile.ZipFile(out) as zf:
+        assert 'render.tpu_fused.stablehlo' not in zf.namelist()
+
+
 def test_metrics_harness_accepts_artifact(tmp_path):
     """The metrics harness scores a .shlo artifact against ground-truth
     FITS — near-perfect metrics when the artifact re-renders its own GT."""
