@@ -53,6 +53,7 @@ FORMAT_VERSION = 2
 _BLOB_NAME = 'render.stablehlo'
 _FUSED_BLOB_NAME = 'render.tpu_fused.stablehlo'
 _POINTS_BLOB_NAME = 'points.stablehlo'
+_FUSED_POINTS_BLOB_NAME = 'points.tpu_fused.stablehlo'
 _META_NAME = 'meta.json'
 
 
@@ -168,13 +169,16 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
     #     automatic partitioning (no shard_map) is not partitionable; the
     #     multi-chip artifact keeps the XLA path.
     fused_blob = None
+    fused_points_blob = None
     mc = spec.get('model_config') or {}
     nerf_head = spec.get('head') in ('emission', 'density_temperature',
                                      'thomson')
-    if (fused_tpu and 'tpu' in platforms and nerf_head
-            and not mc.get('grid_rank') and n_devices == 1):
+    embed_fused = (fused_tpu and 'tpu' in platforms and nerf_head
+                   and not mc.get('grid_rank') and n_devices == 1)
+    if embed_fused:
+        fused_renderer = build_renderer('export')
         exported_fused = jax_export.export(
-            jit_render(make_render_fn(build_renderer('export'))),
+            jit_render(make_render_fn(fused_renderer)),
             platforms=['tpu'])(*render_args)
         fused_blob = exported_fused.serialize()
 
@@ -186,6 +190,16 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
 
     exported_points = jax_export.export(
         jax.jit(points_fn), platforms=list(platforms))(sh(batch_size, 4))
+
+    if embed_fused:
+        # fused points module too: cube extraction queries millions of
+        # points, so the XLA sin penalty bites the products path as well
+        def fused_points_fn(points):
+            return fused_renderer.forward_points(params, points).raw
+
+        fused_points_blob = jax_export.export(
+            jax.jit(fused_points_fn),
+            platforms=['tpu'])(sh(batch_size, 4)).serialize()
 
     meta = {
         'format_version': 2 if n_devices > 1 else 1,
@@ -209,6 +223,8 @@ def export_serving(state_path: str, out_path: str, batch_size: int = 4096,
         zf.writestr(_POINTS_BLOB_NAME, exported_points.serialize())
         if fused_blob is not None:
             zf.writestr(_FUSED_BLOB_NAME, fused_blob)
+        if fused_points_blob is not None:
+            zf.writestr(_FUSED_POINTS_BLOB_NAME, fused_points_blob)
     return meta
 
 
@@ -232,6 +248,8 @@ class ServingModel:
                      if _FUSED_BLOB_NAME in names else None)
             pblob = (zf.read(_POINTS_BLOB_NAME)
                      if _POINTS_BLOB_NAME in names else None)
+            fpblob = (zf.read(_FUSED_POINTS_BLOB_NAME)
+                      if _FUSED_POINTS_BLOB_NAME in names else None)
         if self.meta.get('format_version', 0) > FORMAT_VERSION:
             raise ValueError(
                 f'artifact format v{self.meta["format_version"]} is newer '
@@ -264,6 +282,8 @@ class ServingModel:
         self._call_many = jax.jit(
             lambda ro, rd, t, wl: jax.lax.map(
                 lambda args: self._exported.call(*args), (ro, rd, t, wl)))
+        if self.fused_active and fpblob is not None:
+            pblob = fpblob
         self._points_call = (jax.jit(jax_export.deserialize(pblob).call)
                              if pblob is not None else None)
 

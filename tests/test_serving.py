@@ -259,12 +259,16 @@ def test_fused_tpu_blob_embedded(bundle, tmp_path):
     assert meta['fused_tpu'] is True
     with zipfile.ZipFile(out) as zf:
         assert 'render.tpu_fused.stablehlo' in zf.namelist()
+        assert 'points.tpu_fused.stablehlo' in zf.namelist()
         portable = jax_export.deserialize(
             zf.read('render.stablehlo')).mlir_module()
         fused = jax_export.deserialize(
             zf.read('render.tpu_fused.stablehlo')).mlir_module()
+        fused_pts = jax_export.deserialize(
+            zf.read('points.tpu_fused.stablehlo')).mlir_module()
     assert 'tpu_custom_call' not in portable
     assert 'tpu_custom_call' in fused
+    assert 'tpu_custom_call' in fused_pts
     model = ServingModel(out)
     assert model.fused_active is False        # cpu runtime
     ro, rd, t = _rays(64)
