@@ -231,8 +231,10 @@ def main(argv=None):
                 quality_matched_evidence='3-seed equal-wall-clock psi_193 '
                     'protocol: test PSNR 28.57+-1.10 vs parity 27.67+-1.36, '
                     'SSIM 0.889 vs 0.880 (PSI_MATRIX_r3.jsonl; RESULTS.md); '
-                    'survives the shipped 200k-step 256px schedule at '
-                    '+2.93 dB over parity (SCALE_PROOF_r4.jsonl)',
+                    '200k-step 256px schedule seed-SPLIT: +2.93 dB (s7) / '
+                    '-5.67 dB (s8) — prefer 24+48 for long schedules '
+                    '(SCALE_PROOF_r4.jsonl, RESULTS.md round-4 scale '
+                    'section)',
                 dt_quality_matched_config='dt proposal 4x128 + 24+48',
                 dt_quality_matched_x=3.22,
                 dt_quality_matched_evidence='3-seed equal-wall-clock '
