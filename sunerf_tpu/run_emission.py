@@ -87,7 +87,14 @@ def main(argv=None):
         log_every=train_cfg.get('scalar_log_every', 100),
         debug_nans=train_cfg.get('debug_nans', False),
         keep_best=train_cfg.get('keep_best', False),
-        ema_decay=train_cfg.get('ema_decay', 0.0))
+        ema_decay=train_cfg.get('ema_decay', 0.0),
+        # GT-free high-latitude drift probe (train/probe.py): on by
+        # default for long schedules where the measured failure lives
+        # (RESULTS.md round-4 scale section); set drift_probe_views: 0
+        # to disable
+        drift_probe_views=train_cfg.get('drift_probe_views', 4),
+        drift_probe_resolution=train_cfg.get('drift_probe_resolution', 64),
+        drift_probe_lat_deg=train_cfg.get('drift_probe_lat_deg', 60.0))
 
     logger = MetricsLogger(workdir, project=log_cfg.get('project'),
                            name=log_cfg.get('name'),

@@ -82,6 +82,24 @@ class TrainerConfig:
     # two jitted programs, so shapes stay static inside each XLA program.
     # 0 = off (tiers from step 0, round-3 behavior).
     tier_warmup_steps: int = 0
+    # GT-free high-latitude drift probe (train/probe.py): render
+    # drift_probe_views FIXED |lat| = drift_probe_lat_deg viewpoints at
+    # every validation and log probe_stability_db (vs the previous
+    # validation) and probe_drift_since_best_db (vs the render at the
+    # val-PSNR high-water mark). This is the observability answer to the
+    # round-4 scale-test reversal: the deep-cut budgets can drift at high
+    # latitude late in long schedules while the ecliptic-band validation
+    # — the only ground truth solar data provides — stays flat, so
+    # keep_best cannot see the failure (SCALE_PROOF_r4.jsonl seed 8,
+    # RESULTS.md round-4 scale section). Observational: metrics + a loud
+    # warning, NOT wired into checkpoint selection until validated
+    # against a reproduced failure. 0 = off.
+    drift_probe_views: int = 0
+    drift_probe_resolution: int = 64
+    drift_probe_lat_deg: float = 60.0
+    # warn when band-val sits within 0.5 dB of its high-water while the
+    # probe render has moved by more than this (probe PSNR below this)
+    drift_probe_warn_db: float = 25.0
 
 
 class Trainer:
@@ -144,6 +162,28 @@ class Trainer:
 
         self.logger = logger or MetricsLogger(workdir)
         self._occ_update_fn = self._make_occ_update()
+
+        self._drift_probe = None
+        self._probe_prev = None
+        self._probe_at_best = None
+        self._probe_best_val = -np.inf
+        if trainer_config.drift_probe_views:
+            # observer distance / scene time / wavelength pinned from the
+            # held-out view so the probe lives in the scene's own regime
+            arrays = data.valid.arrays
+            origins = np.asarray(arrays['rays'][:, 0])
+            distance = float(np.median(np.linalg.norm(origins, axis=-1)))
+            t_med = float(np.median(np.asarray(arrays['time'])))
+            wl = arrays.get('wavelength')
+            wl_val = float(np.asarray(wl).ravel()[0]) if wl is not None \
+                else None
+            from sunerf_tpu.train.probe import DriftProbe
+            self._drift_probe = DriftProbe(
+                renderer, distance, time=t_med,
+                n_views=trainer_config.drift_probe_views,
+                resolution=trainer_config.drift_probe_resolution,
+                lat_deg=trainer_config.drift_probe_lat_deg,
+                wavelength=wl_val)
 
     def _make_occ_update(self):
         """Jitted occupancy-grid EMA update (core/occupancy.py) from the fine
@@ -445,6 +485,43 @@ class Trainer:
                 save_state(os.path.join(self.workdir, 'save_state_best'),
                            jax.tree.map(np.asarray, best_params), config)
                 val['val_best_psnr'] = best_score
+
+        if self._drift_probe is not None:
+            from sunerf_tpu.train.probe import probe_psnr
+            probe = self._drift_probe.render(params)
+            if self.loss_config.image_scaling == 'asinh':
+                probe = np.asarray(image_asinh_scaling(
+                    probe, self.loss_config.scaling_vmax,
+                    self.loss_config.scaling_a))
+            if self._probe_prev is not None:
+                val['probe_stability_db'] = probe_psnr(probe,
+                                                       self._probe_prev)
+            if self._probe_at_best is not None:
+                drift = probe_psnr(probe, self._probe_at_best)
+                val['probe_drift_since_best_db'] = drift
+                near_best = val.get('val_psnr', -np.inf) >= \
+                    self._probe_best_val - 0.5
+                if near_best and drift < self.config.drift_probe_warn_db:
+                    print(f'WARNING: high-latitude drift probe at step '
+                          f'{step}: band-val is within 0.5 dB of its best '
+                          f'({val.get("val_psnr", float("nan")):.2f} vs '
+                          f'{self._probe_best_val:.2f}) but the |lat|='
+                          f'{self.config.drift_probe_lat_deg:.0f}° probe '
+                          f'render has moved {drift:.1f} dB from the '
+                          f'best-checkpoint render (< '
+                          f'{self.config.drift_probe_warn_db:.0f} dB '
+                          f'threshold) — the seed-8 long-schedule failure '
+                          f'signature (RESULTS.md round-4 scale section). '
+                          f'High-latitude renders from this run may be '
+                          f'unreliable; prefer a milder sample budget '
+                          f'(24+48) or inspect the probe images.',
+                          flush=True)
+                    val['probe_drift_warning'] = 1.0
+            if val.get('val_psnr', -np.inf) > self._probe_best_val:
+                self._probe_best_val = val['val_psnr']
+                self._probe_at_best = probe
+            self._probe_prev = probe
+
         self.logger.log(val, step)
         return val
 

@@ -190,6 +190,62 @@ def test_keep_best_checkpoint(rendered_views, tmp_path):
     assert trainer2._best_psnr_high_water() == max(bests)
 
 
+def test_drift_probe_in_trainer(rendered_views, tmp_path):
+    """TrainerConfig.drift_probe_views: every validation renders fixed
+    high-latitude GT-free views and logs probe_stability_db /
+    probe_drift_since_best_db — the observability answer to the round-4
+    seed-8 long-schedule reversal (high-latitude drift invisible to the
+    ecliptic-band validation; RESULTS.md round-4 scale section)."""
+    tmp_path_renders, config, _ = rendered_views
+
+    from sunerf_tpu.data.loaders import build_single_channel_data
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig
+
+    data = build_single_channel_data(
+        str(tmp_path_renders / 'renders' / 'aia' / '193' / '*.fits'),
+        str(tmp_path / 'work'), batch_size=128)
+    renderer, init = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32),
+        n_stratified=8, n_hierarchical=8)
+    workdir = str(tmp_path / 'run')
+    trainer = Trainer(
+        renderer, init, data,
+        loss_config=LossConfig(scaling_vmax=10.0),
+        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+        trainer_config=TrainerConfig(total_steps=30, val_every=10,
+                                     checkpoint_every=30, log_every=10,
+                                     save_val_images=False, keep_best=True,
+                                     drift_probe_views=2,
+                                     drift_probe_resolution=8),
+        workdir=workdir)
+    assert trainer._drift_probe is not None
+    # probe distance pinned from the held-out view's camera distance
+    origins = np.asarray(data.valid.arrays['rays'][:, 0])
+    d_val = float(np.median(np.linalg.norm(origins, axis=-1)))
+    d_probe = float(np.linalg.norm(trainer._drift_probe.view_origins[0]))
+    np.testing.assert_allclose(d_probe, d_val, rtol=1e-4)
+
+    trainer.fit()
+
+    import json
+    with open(os.path.join(workdir, 'metrics.jsonl')) as f:
+        recs = [json.loads(line) for line in f]
+    stab = [r['probe_stability_db'] for r in recs
+            if 'probe_stability_db' in r]
+    drift = [r['probe_drift_since_best_db'] for r in recs
+             if 'probe_drift_since_best_db' in r]
+    # 4 validations (step-0 sanity + 3 periodic): stability from the 2nd
+    # on; drift-since-best only after a high-water mark exists
+    assert len(stab) >= 2 and all(np.isfinite(s) for s in stab)
+    assert drift and all(np.isfinite(x) for x in drift)
+    # early training moves the field fast — the probe must see change
+    assert min(stab) < 99.0
+
+
 def test_ema_averaging_end_to_end(rendered_views, tmp_path):
     """TrainerConfig.ema_decay: validation scores the averaged variant
     (val_psnr_ema), save() writes a save_state_ema deployment bundle that

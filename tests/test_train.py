@@ -436,3 +436,29 @@ def test_table_tv_regularizer():
     _, mf = step_f(create_train_state(params_f, optimizer), batch,
                    jax.random.key(2))
     assert float(mf['table_tv']) > 0.0 and np.isfinite(float(mf['loss']))
+
+
+def test_drift_probe_render_and_psnr():
+    """DriftProbe (train/probe.py): fixed high-latitude ray bundles render
+    deterministically, probe_psnr caps identical stacks at 99 dB and drops
+    when the field changes — the GT-free observability answer to the
+    round-4 seed-8 scale-test reversal (RESULTS.md round-4 scale section)."""
+    from sunerf_tpu.train.probe import DriftProbe, probe_psnr
+
+    renderer, params, _ = _tiny_setup()
+    probe = DriftProbe(renderer, distance=4.0, time=0.0, n_views=2,
+                       resolution=8, lat_deg=60.0)
+    a = probe.render(params)
+    assert a.shape == (2, 8, 8, 1)
+    assert np.all(np.isfinite(a))
+    # deterministic: the same params render the same stack
+    assert probe_psnr(probe.render(params), a) == 99.0
+    # a perturbed field moves the probe
+    bumped = jax.tree.map(lambda x: x + 0.05, params)
+    moved = probe_psnr(probe.render(bumped), a)
+    assert moved < 99.0
+    # views actually sit at |lat| = 60 deg, one each side of the ecliptic
+    lats = np.rad2deg(np.arcsin(
+        probe.view_origins[:, 2] / np.linalg.norm(probe.view_origins,
+                                                  axis=-1)))
+    np.testing.assert_allclose(np.sort(lats), [-60.0, 60.0], atol=1e-4)
