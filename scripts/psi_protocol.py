@@ -277,6 +277,13 @@ def main():
                                                         - phase_start) // 10,
                                                        1),
                                          save_val_images=False,
+                                         # GT-free high-latitude drift probe
+                                         # (train/probe.py): observational
+                                         # render-only metrics at each
+                                         # validation — does not change
+                                         # training; trace summarized into
+                                         # the output row (highlat_probe)
+                                         drift_probe_views=4,
                                          seed=args.seed),
             workdir=run_dir)
 
@@ -381,6 +388,21 @@ def main():
         # no validation improved on -inf, i.e. the run produced no val rows)
         out['config']['keep_best'] = True
         out['scored_bundle'] = os.path.basename(bundle)
+    stab = [round(r['probe_stability_db'], 2) for r in recs
+            if 'probe_stability_db' in r]
+    drift = [round(r['probe_drift_since_best_db'], 2) for r in recs
+             if 'probe_drift_since_best_db' in r]
+    if stab or drift:
+        # OBSERVATIONAL (render-only, does not change training, so NOT a
+        # config/signature key): the high-latitude drift-probe trace
+        # (train/probe.py) — the seed-8 long-schedule reversal's failure
+        # signature is band-val flat while drift_since_best collapses
+        # (RESULTS.md round-4 scale section)
+        out['highlat_probe'] = {
+            'stability_db': stab,
+            'drift_since_best_db': drift,
+            'warnings': int(sum(1 for r in recs
+                                if r.get('probe_drift_warning')))}
     if args.occupancy:
         # key absent when off: keeps pre-occupancy matrix rows' signatures
         # (and so psi_matrix.py idempotency) unchanged
