@@ -517,6 +517,11 @@ class Trainer:
                           f'(24+48) or inspect the probe images.',
                           flush=True)
                     val['probe_drift_warning'] = 1.0
+                    # the evidence for the warning: current stack + the
+                    # best-checkpoint reference it drifted from
+                    np.savez(os.path.join(self.workdir,
+                                          f'probe_warn_{step:08d}.npz'),
+                             probe=probe, at_best=self._probe_at_best)
             if val.get('val_psnr', -np.inf) > self._probe_best_val:
                 self._probe_best_val = val['val_psnr']
                 self._probe_at_best = probe

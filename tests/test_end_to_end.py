@@ -245,6 +245,20 @@ def test_drift_probe_in_trainer(rendered_views, tmp_path):
     # early training moves the field fast — the probe must see change
     assert min(stab) < 99.0
 
+    # warning path: band-val "near its best" while the probe render sits
+    # far from the best-checkpoint reference → probe_drift_warning fires
+    # and the evidence stacks are saved for inspection
+    trainer._probe_best_val = -1e9  # any val PSNR counts as near-best
+    trainer._probe_at_best = np.full_like(trainer._probe_prev, 1e3)
+    val = trainer.validate(999)
+    assert val.get('probe_drift_warning') == 1.0
+    assert val['probe_drift_since_best_db'] < 25.0
+    warn_files = [f for f in os.listdir(workdir)
+                  if f.startswith('probe_warn_')]
+    assert warn_files, 'warning evidence stack was not saved'
+    saved = np.load(os.path.join(workdir, warn_files[0]))
+    assert saved['probe'].shape == saved['at_best'].shape
+
 
 def test_ema_averaging_end_to_end(rendered_views, tmp_path):
     """TrainerConfig.ema_decay: validation scores the averaged variant
