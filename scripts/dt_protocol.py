@@ -211,6 +211,10 @@ def main():
                        else args.steps),
             keep_best=args.keep_best, checkpoint_every=args.steps,
             log_every=max(args.steps // 10, 1),
+            # GT-free high-latitude drift probe (train/probe.py):
+            # observational render-only metrics; trace summarized into
+            # the output row (highlat_probe)
+            drift_probe_views=4,
             save_val_images=False, seed=args.seed),
         workdir=run_dir)
     trainer.fit()
@@ -250,6 +254,18 @@ def main():
     if args.keep_best:
         out['config']['keep_best'] = True
         out['scored_bundle'] = os.path.basename(bundle)
+    stab = [round(r['probe_stability_db'], 2) for r in recs
+            if 'probe_stability_db' in r]
+    drift = [round(r['probe_drift_since_best_db'], 2) for r in recs
+             if 'probe_drift_since_best_db' in r]
+    if stab or drift:
+        # OBSERVATIONAL (render-only; NOT a signature key) — see
+        # psi_protocol.py and RESULTS.md round-4 scale section
+        out['highlat_probe'] = {
+            'stability_db': stab,
+            'drift_since_best_db': drift,
+            'warnings': int(sum(1 for r in recs
+                                if r.get('probe_drift_warning')))}
     print(json.dumps(out))
     if args.out:
         with open(args.out, 'a') as fh:

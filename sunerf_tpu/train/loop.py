@@ -499,8 +499,16 @@ class Trainer:
             if self._probe_at_best is not None:
                 drift = probe_psnr(probe, self._probe_at_best)
                 val['probe_drift_since_best_db'] = drift
-                near_best = val.get('val_psnr', -np.inf) >= \
-                    self._probe_best_val - 0.5
+                # the failure signature is band-val sitting NEAR its best
+                # WITHOUT beating it while the probe drifts; a validation
+                # that sets a new high-water replaces the reference render
+                # anyway, and early training legitimately moves everything
+                # (the DT smoke fired a false positive here before this
+                # gate: any improvement on a terrible first val counted
+                # as "near best")
+                v = val.get('val_psnr', -np.inf)
+                near_best = (v >= self._probe_best_val - 0.5
+                             and v <= self._probe_best_val)
                 if near_best and drift < self.config.drift_probe_warn_db:
                     print(f'WARNING: high-latitude drift probe at step '
                           f'{step}: band-val is within 0.5 dB of its best '

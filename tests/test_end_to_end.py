@@ -245,13 +245,19 @@ def test_drift_probe_in_trainer(rendered_views, tmp_path):
     # early training moves the field fast — the probe must see change
     assert min(stab) < 99.0
 
-    # warning path: band-val "near its best" while the probe render sits
-    # far from the best-checkpoint reference → probe_drift_warning fires
-    # and the evidence stacks are saved for inspection
-    trainer._probe_best_val = -1e9  # any val PSNR counts as near-best
+    # warning path: band-val within 0.5 dB of its best WITHOUT beating it,
+    # while the probe render sits far from the best-checkpoint reference →
+    # probe_drift_warning fires and the evidence stacks are saved
+    v_now = trainer.validate(998)['val_psnr']  # eval is deterministic
+    trainer._probe_best_val = v_now + 0.2      # v in [best-0.5, best]
     trainer._probe_at_best = np.full_like(trainer._probe_prev, 1e3)
     val = trainer.validate(999)
     assert val.get('probe_drift_warning') == 1.0
+    # and the gate: a validation that SETS a new best must not warn
+    trainer._probe_best_val = v_now - 5.0
+    trainer._probe_at_best = np.full_like(trainer._probe_prev, 1e3)
+    val2 = trainer.validate(1000)
+    assert 'probe_drift_warning' not in val2
     assert val['probe_drift_since_best_db'] < 25.0
     warn_files = [f for f in os.listdir(workdir)
                   if f.startswith('probe_warn_')]
