@@ -219,22 +219,32 @@ def main(argv=None):
         # North-star answer IN the driver-captured line (VERDICT r3 #4):
         # the quality-matched record config, measured fresh this run, with
         # its 3-seed quality evidence named so no human has to
-        # cross-reference RESULTS.md to read the multiplier.
-        if 'proposal_fifth_rays_per_sec' in result:
-            qm = result['proposal_fifth_rays_per_sec']
+        # cross-reference RESULTS.md to read the multiplier. Round 4
+        # promoted 24+48 (proposal_quarter) to the headline: the faster
+        # 20+40 (proposal_fifth, 17.8x) is seed-fragile at the 200k-step
+        # production schedule (SCALE_PROOF_r4 seed split +2.93/-5.67 dB),
+        # while 24+48 is the 3-seed tightest-variance matched point AND
+        # recovers the adversarial seed to within 0.95 dB of parity at
+        # 3.30x on the long schedule — it is what psi_193_fast.yaml ships.
+        if 'proposal_quarter_rays_per_sec' in result:
+            qm = result['proposal_quarter_rays_per_sec']
             result.update(
-                quality_matched_config='proposal_fifth '
-                                       '(4x128 proposal coarse + 20+40)',
+                quality_matched_config='proposal_quarter '
+                                       '(4x128 proposal coarse + 24+48; '
+                                       'psi_193_fast.yaml)',
                 quality_matched_rays_per_sec=qm,
                 quality_matched_x=round(
                     qm / ESTIMATED_REFERENCE_RAYS_PER_SEC, 3),
                 quality_matched_evidence='3-seed equal-wall-clock psi_193 '
-                    'protocol: test PSNR 28.57+-1.10 vs parity 27.67+-1.36, '
-                    'SSIM 0.889 vs 0.880 (PSI_MATRIX_r3.jsonl; RESULTS.md); '
-                    '200k-step 256px schedule seed-SPLIT: +2.93 dB (s7) / '
-                    '-5.67 dB (s8) — prefer 24+48 for long schedules '
-                    '(SCALE_PROOF_r4.jsonl, RESULTS.md round-4 scale '
-                    'section)',
+                    'protocol: test PSNR 28.80+-0.28 vs parity 27.67+-1.36, '
+                    'SSIM 0.887 vs 0.880 (PSI_MATRIX_r3.jsonl; RESULTS.md); '
+                    'long-schedule (179k-step, 256px) adversarial seed 8: '
+                    'within 0.95 dB of the equal-wall-clock parity control '
+                    'at 3.30x (SCALE_PROOF_r4.jsonl). The faster 20+40 '
+                    'point (proposal_fifth, 17.8x, 3-seed matched at 12.5k '
+                    'steps) seed-SPLITS at the 200k-step schedule '
+                    '(+2.93/-5.67 dB) — short-schedule tool only '
+                    '(RESULTS.md round-4 scale section)',
                 dt_quality_matched_config='dt proposal 4x128 + 24+48',
                 dt_quality_matched_x=3.22,
                 dt_quality_matched_evidence='3-seed equal-wall-clock '
