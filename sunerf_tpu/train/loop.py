@@ -100,6 +100,19 @@ class TrainerConfig:
     # warn when band-val sits within 0.5 dB of its high-water while the
     # probe render has moved by more than this (probe PSNR below this)
     drift_probe_warn_db: float = 25.0
+    # PROBE-AWARE CHECKPOINT SELECTION (opt-in, round-4 seed for round 5):
+    # when set, a keep_best promotion is VETOED if the candidate's band-val
+    # improvement over the reigning best is marginal
+    # (< drift_probe_gate_margin_db) while its high-latitude probe render
+    # has moved more than the warn threshold from the best-checkpoint
+    # reference — the seed-8 long-schedule signature (band-val creeps while
+    # |lat|≥25° degrades). Large band-val improvements always promote:
+    # early training legitimately moves everything. KNOWN LIMIT
+    # (SCALE_PROOF_r4 512px seed-7 row): the gate only sees LATE drift;
+    # a run that mis-converges at high latitude EARLY and stays
+    # self-consistent never trips it. Requires drift_probe_views > 0.
+    drift_probe_gate: bool = False
+    drift_probe_gate_margin_db: float = 1.0
 
 
 class Trainer:
@@ -167,6 +180,10 @@ class Trainer:
         self._probe_prev = None
         self._probe_at_best = None
         self._probe_best_val = -np.inf
+        if trainer_config.drift_probe_gate and \
+                not trainer_config.drift_probe_views:
+            raise ValueError('drift_probe_gate requires drift_probe_views '
+                             '> 0 (there is no probe to gate on)')
         if trainer_config.drift_probe_views:
             # observer distance / scene time / wavelength pinned from the
             # held-out view so the probe lives in the scene's own regime
@@ -438,6 +455,25 @@ class Trainer:
                                      coarse_s[:, c].reshape(h, w),
                                      height.reshape(h, w),
                                      absorption.reshape(h, w))
+        # GT-free high-latitude probe render — computed BEFORE the keep_best
+        # decision so drift_probe_gate can veto a marginal promotion whose
+        # probe render has drifted (stability/drift metrics logged below)
+        probe = None
+        probe_drift = None
+        if self._drift_probe is not None:
+            from sunerf_tpu.train.probe import probe_psnr
+            probe = self._drift_probe.render(params)
+            if self.loss_config.image_scaling == 'asinh':
+                probe = np.asarray(image_asinh_scaling(
+                    probe, self.loss_config.scaling_vmax,
+                    self.loss_config.scaling_a))
+            if self._probe_prev is not None:
+                val['probe_stability_db'] = probe_psnr(probe,
+                                                       self._probe_prev)
+            if self._probe_at_best is not None:
+                probe_drift = probe_psnr(probe, self._probe_at_best)
+                val['probe_drift_since_best_db'] = probe_drift
+
         if psnrs:
             val['val_psnr'] = float(np.mean(psnrs))
             val['val_ssim'] = float(np.mean(ssims))
@@ -470,8 +506,29 @@ class Trainer:
                     candidates.append(('ema', val['val_psnr_ema'], ema_host))
             best_name, best_score, best_params = max(candidates,
                                                      key=lambda c: c[1])
-            if self.config.keep_best and \
-                    best_score > self._best_psnr_high_water():
+            promote = (self.config.keep_best
+                       and best_score > self._best_psnr_high_water())
+            if (promote and self.config.drift_probe_gate
+                    and probe_drift is not None
+                    and probe_drift < self.config.drift_probe_warn_db
+                    and best_score - self._best_psnr_high_water()
+                        < self.config.drift_probe_gate_margin_db):
+                # probe-aware selection: the candidate's band-val gain is
+                # marginal while its |lat|=60° render has moved far from
+                # the reigning best checkpoint's — the long-schedule drift
+                # signature. Keep the old best; keep the probe reference
+                # pinned to it (see the reference update below).
+                promote = False
+                val['probe_gate_rejected'] = 1.0
+                print(f'drift_probe_gate at step {step}: keep_best '
+                      f'promotion VETOED — band-val {best_score:.2f} is '
+                      f'only +{best_score - self._best_psnr_high_water():.2f} '
+                      f'dB over the best bundle while the high-latitude '
+                      f'probe moved {probe_drift:.1f} dB from its render '
+                      f'(< {self.config.drift_probe_warn_db:.0f} dB '
+                      f'threshold). Retaining the previous best.',
+                      flush=True)
+            if promote:
                 self._best_val_psnr = best_score
                 config = dict(self.data.config)
                 if self.renderer.spec is not None:
@@ -486,19 +543,9 @@ class Trainer:
                            jax.tree.map(np.asarray, best_params), config)
                 val['val_best_psnr'] = best_score
 
-        if self._drift_probe is not None:
-            from sunerf_tpu.train.probe import probe_psnr
-            probe = self._drift_probe.render(params)
-            if self.loss_config.image_scaling == 'asinh':
-                probe = np.asarray(image_asinh_scaling(
-                    probe, self.loss_config.scaling_vmax,
-                    self.loss_config.scaling_a))
-            if self._probe_prev is not None:
-                val['probe_stability_db'] = probe_psnr(probe,
-                                                       self._probe_prev)
-            if self._probe_at_best is not None:
-                drift = probe_psnr(probe, self._probe_at_best)
-                val['probe_drift_since_best_db'] = drift
+        if probe is not None:
+            if probe_drift is not None:
+                drift = probe_drift
                 # the failure signature is band-val sitting NEAR its best
                 # WITHOUT beating it while the probe drifts; a validation
                 # that sets a new high-water replaces the reference render
@@ -530,7 +577,11 @@ class Trainer:
                     np.savez(os.path.join(self.workdir,
                                           f'probe_warn_{step:08d}.npz'),
                              probe=probe, at_best=self._probe_at_best)
-            if val.get('val_psnr', -np.inf) > self._probe_best_val:
+            # the probe reference tracks the best ACCEPTED checkpoint: a
+            # gate-rejected candidate must not move it, or the drift
+            # reference would creep along with the drifting field
+            if val.get('val_psnr', -np.inf) > self._probe_best_val and \
+                    not val.get('probe_gate_rejected'):
                 self._probe_best_val = val['val_psnr']
                 self._probe_at_best = probe
             self._probe_prev = probe

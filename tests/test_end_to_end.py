@@ -266,6 +266,77 @@ def test_drift_probe_in_trainer(rendered_views, tmp_path):
     assert saved['probe'].shape == saved['at_best'].shape
 
 
+def test_drift_probe_gate(rendered_views, tmp_path):
+    """TrainerConfig.drift_probe_gate: probe-aware checkpoint selection —
+    a keep_best promotion whose band-val gain is marginal
+    (< drift_probe_gate_margin_db) while the high-latitude probe render
+    has drifted past the warn threshold is VETOED; large band-val gains
+    always promote (round-5 seed #1, ROADMAP)."""
+    tmp_path_renders, config, _ = rendered_views
+
+    from sunerf_tpu.data.loaders import build_single_channel_data
+    from sunerf_tpu.models.fields import emission_config
+    from sunerf_tpu.systems import make_emission_system
+    from sunerf_tpu.train.loop import Trainer, TrainerConfig
+    from sunerf_tpu.train.objective import LossConfig
+    from sunerf_tpu.train.optim import OptimConfig
+
+    data = build_single_channel_data(
+        str(tmp_path_renders / 'renders' / 'aia' / '193' / '*.fits'),
+        str(tmp_path / 'work'), batch_size=128)
+    renderer, init = make_emission_system(
+        model_config=emission_config(n_layers=2, d_filter=32),
+        n_stratified=8, n_hierarchical=8)
+
+    # gate without a probe is a config error, not a silent no-op
+    import pytest
+    with pytest.raises(ValueError, match='drift_probe_gate'):
+        Trainer(renderer, init, data,
+                loss_config=LossConfig(scaling_vmax=10.0),
+                trainer_config=TrainerConfig(drift_probe_gate=True),
+                workdir=str(tmp_path / 'bad'))
+
+    workdir = str(tmp_path / 'run')
+    trainer = Trainer(
+        renderer, init, data,
+        loss_config=LossConfig(scaling_vmax=10.0),
+        optim_config=OptimConfig(lr_start=1e-3, lr_floor=1e-3),
+        trainer_config=TrainerConfig(total_steps=10, val_every=10,
+                                     checkpoint_every=10, log_every=10,
+                                     save_val_images=False, keep_best=True,
+                                     drift_probe_views=2,
+                                     drift_probe_resolution=8,
+                                     drift_probe_gate=True),
+        workdir=workdir)
+
+    # first validation establishes the best bundle + the probe reference
+    v_now = trainer.validate(1)['val_psnr']  # eval is deterministic
+
+    # VETO: candidate improves the high-water by only +0.5 dB (< the 1.0 dB
+    # margin) while the probe render sits far from the best-checkpoint
+    # reference (drift << warn threshold)
+    trainer._best_val_psnr = v_now - 0.5
+    pinned = np.full_like(trainer._probe_prev, 1e3)
+    trainer._probe_at_best = pinned
+    trainer._probe_best_val = v_now - 0.5
+    val = trainer.validate(2)
+    assert val.get('probe_gate_rejected') == 1.0
+    assert 'val_best_psnr' not in val            # promotion did not happen
+    assert trainer._best_psnr_high_water() == v_now - 0.5
+    # the probe reference stays pinned to the best ACCEPTED checkpoint
+    assert np.all(trainer._probe_at_best == pinned)
+
+    # BYPASS: a large band-val gain promotes despite the same probe drift
+    trainer._best_val_psnr = v_now - 5.0
+    trainer._probe_at_best = np.full_like(trainer._probe_prev, 1e3)
+    trainer._probe_best_val = v_now - 5.0
+    val2 = trainer.validate(3)
+    assert 'probe_gate_rejected' not in val2
+    assert val2.get('val_best_psnr') == v_now    # promoted
+    # and the probe reference moved to the newly accepted checkpoint
+    assert not np.all(trainer._probe_at_best == 1e3)
+
+
 def test_ema_averaging_end_to_end(rendered_views, tmp_path):
     """TrainerConfig.ema_decay: validation scores the averaged variant
     (val_psnr_ema), save() writes a save_state_ema deployment bundle that
