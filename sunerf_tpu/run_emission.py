@@ -94,7 +94,13 @@ def main(argv=None):
         # to disable
         drift_probe_views=train_cfg.get('drift_probe_views', 4),
         drift_probe_resolution=train_cfg.get('drift_probe_resolution', 64),
-        drift_probe_lat_deg=train_cfg.get('drift_probe_lat_deg', 60.0))
+        drift_probe_lat_deg=train_cfg.get('drift_probe_lat_deg', 60.0),
+        # opt-in probe-aware checkpoint selection (round-5 seed):
+        # veto marginal keep_best promotions whose probe render
+        # drifted past drift_probe_warn_db (loop.py drift_probe_gate)
+        drift_probe_gate=train_cfg.get('drift_probe_gate', False),
+        drift_probe_gate_margin_db=train_cfg.get(
+            'drift_probe_gate_margin_db', 1.0))
 
     logger = MetricsLogger(workdir, project=log_cfg.get('project'),
                            name=log_cfg.get('name'),
