@@ -176,6 +176,59 @@ def test_sharded_tiered_train_step_runs():
     assert not np.array_equal(before, np.asarray(state.params['fine']['w_in']))
 
 
+def test_sharded_dt_train_step_matches_single_device():
+    """DT head under shard_map (VERDICT r4 #5): multi-wavelength batch with
+    an absent channel (wavelength 0 mask), response-table lookup, and the
+    per-lambda aux params (log_abs, vol_c) — sharded loss must match the
+    single-device step and the aux params must receive gradient. Replaces
+    the reference's untested strategy='dp' DT path
+    (run_density_temperature.py:79-84)."""
+    from sunerf_tpu.models.fields import density_temperature_config
+    from sunerf_tpu.systems import make_density_temperature_system
+
+    renderer, init = make_density_temperature_system(
+        model_config=density_temperature_config(n_layers=2, d_filter=32),
+        n_stratified=8, n_hierarchical=8, perturb=False)
+    params = init(jax.random.key(0))
+    n_rays = 64
+    key = jax.random.key(5)
+    rays_o = jnp.tile(jnp.array([[4.0, 0.0, 0.0]]), (n_rays, 1))
+    dirs = jnp.array([[-1.0, 0.0, 0.0]]) + 0.1 * jax.random.normal(
+        key, (n_rays, 3))
+    rays_d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    wl = jnp.tile(jnp.asarray([[171.0, 193.0, 211.0]], jnp.float32),
+                  (n_rays, 1))
+    wl = wl.at[n_rays // 2:, 2].set(0.0)  # union-lambda mask: channel absent
+    batch = {'rays': jnp.stack([rays_o, rays_d], axis=1),
+             'time': jnp.zeros((n_rays, 1)),
+             'target_image': jnp.full((n_rays, 3), 0.05),
+             'wavelength': wl}
+
+    loss_config = LossConfig(image_scaling='none')
+    optimizer = make_optimizer(OptimConfig())
+    key = jax.random.key(11)
+
+    step1 = make_train_step(renderer, loss_config, optimizer, donate=False)
+    state1 = create_train_state(params, optimizer)
+    state1, m1 = step1(state1, batch, key)
+
+    mesh = make_mesh()
+    step8 = make_train_step(renderer, loss_config, optimizer, mesh=mesh,
+                            donate=False)
+    state8 = replicate(mesh, create_train_state(params, optimizer))
+    state8, m8 = step8(state8, shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(float(m1['loss']), float(m8['loss']),
+                               rtol=1e-5)
+    for la in (state1, state8):
+        assert not np.array_equal(np.asarray(la.params['fine']['log_abs']),
+                                  np.asarray(params['fine']['log_abs'])), \
+            'per-lambda log_abs did not train'
+    np.testing.assert_allclose(np.asarray(state1.params['fine']['log_abs']),
+                               np.asarray(state8.params['fine']['log_abs']),
+                               rtol=5e-3, atol=1e-6)
+
+
 def test_initialize_multihost_explicit_args_raise(monkeypatch):
     """Explicit coordinator args + failed init must RAISE (VERDICT r3 #6):
     a misconfigured pod must not silently degrade to single-host."""
