@@ -93,16 +93,24 @@ def observers_from_config(config: dict) -> list[dict]:
     return observers
 
 
-def frame_to_jpeg(path: str, image: np.ndarray):
+def frame_to_jpeg(path: str, image: np.ndarray, wavelength=None):
     """Asinh-normalized JPEG (reference frame_to_jpeg, image_render.py:38-91,
-    which uses matplotlib log-norm; asinh handles zero-valued backgrounds)."""
+    which uses matplotlib log-norm; asinh handles zero-valued backgrounds).
+    With a wavelength, the frame is rendered through the per-channel AIA
+    instrument color table (reference image_render.py:73
+    `plt.get_cmap(f'sdoaia{wavelength}')`; native tables in
+    utils/colormaps.py)."""
     try:
         from PIL import Image
     except ImportError:
         return
+    from sunerf_tpu.utils.colormaps import apply_color_table
     img = np.asarray(image, np.float64)
     img = np.arcsinh(img / (0.005 * (img.max() or 1.0)))
     img = img / (img.max() or 1.0)
+    if wavelength is not None:
+        Image.fromarray(apply_color_table(img, wavelength)).save(path)
+        return
     Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
 
 
@@ -153,7 +161,8 @@ def render_observers(config: dict):
                 if overwrite or not os.path.exists(base + '.fits'):
                     write_fits(base + '.fits', view.image[:, :, c], header)
             if 'jpeg' in formats:
-                frame_to_jpeg(base + '.jpg', view.image[:, :, c])
+                frame_to_jpeg(base + '.jpg', view.image[:, :, c],
+                              wavelength=wl)
             outputs.append(base)
     return outputs
 

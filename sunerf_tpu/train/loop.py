@@ -247,7 +247,8 @@ class Trainer:
             from sunerf_tpu.train.visualization import log_overview
             path = os.path.join(self.workdir, 'overview.jpg')
             log_overview(overview['images'], overview['poses'],
-                         overview['times'], path)
+                         overview['times'], path,
+                         wavelength=self.data.config.get('wavelength'))
             self.logger.log_image('overview', path, 0)
         except Exception as e:  # diagnostics never kill training
             self.logger.log({'overview_failed': 1.0}, 0)
@@ -451,10 +452,16 @@ class Trainer:
             ssims.append(ssim_metric(p_img, t_img,
                                      data_range=float(t_img.max() - t_img.min() or 1)))
             if self.config.save_val_images:
+                wl_arr = arrays.get('wavelength')
+                wl_c = (float(np.asarray(wl_arr)[0, c])
+                        if wl_arr is not None and np.asarray(wl_arr).ndim == 2
+                        and c < np.asarray(wl_arr).shape[1]
+                        else self.data.config.get('wavelength'))
                 self._save_val_image(p_img, t_img, step, c,
                                      coarse_s[:, c].reshape(h, w),
                                      height.reshape(h, w),
-                                     absorption.reshape(h, w))
+                                     absorption.reshape(h, w),
+                                     wavelength=wl_c)
         # GT-free high-latitude probe render — computed BEFORE the keep_best
         # decision so drift_probe_gate can veto a marginal promotion whose
         # probe render has drifted (stability/drift metrics logged below)
@@ -615,19 +622,23 @@ class Trainer:
         return -np.inf
 
     def _save_val_image(self, pred, target, step, channel, coarse=None,
-                        height=None, absorption=None):
+                        height=None, absorption=None, wavelength=None):
         """6-panel validation figure (reference TestImageCallback,
         train/callback.py:38-58): target / fine / coarse / |error| /
-        emission-height map / absorption map."""
+        emission-height map / absorption map. Image panels use the
+        per-wavelength instrument colormap when the channel is known
+        (reference callback.py:141; utils/colormaps.py native tables)."""
         try:
             import matplotlib
             matplotlib.use('Agg')
             import matplotlib.pyplot as plt
         except Exception:
             return
-        panels = [('target', target, 'afmhot'), ('fine', pred, 'afmhot')]
+        from sunerf_tpu.utils.colormaps import wavelength_cmap
+        img_cmap = wavelength_cmap(wavelength)
+        panels = [('target', target, img_cmap), ('fine', pred, img_cmap)]
         if coarse is not None:
-            panels.append(('coarse', coarse, 'afmhot'))
+            panels.append(('coarse', coarse, img_cmap))
         panels.append(('|error|', np.abs(pred - target), 'viridis'))
         if height is not None:
             panels.append(('height map', height, 'plasma'))
@@ -637,7 +648,7 @@ class Trainer:
         fig, axs = plt.subplots(1, n, figsize=(3 * n, 3.2))
         vmax = max(float(np.nanmax(target)), 1e-10)
         for ax, (title, img, cmap) in zip(np.atleast_1d(axs), panels):
-            kw = dict(vmin=0, vmax=vmax) if cmap == 'afmhot' else {}
+            kw = dict(vmin=0, vmax=vmax) if cmap == img_cmap else {}
             ax.imshow(img, cmap=cmap, origin='lower', **kw)
             ax.set_title(title, fontsize=9)
             ax.axis('off')

@@ -13,10 +13,15 @@ def _mpl():
     return plt
 
 
-def log_overview(images, poses, times, path: str, cmap: str = 'afmhot'):
+def log_overview(images, poses, times, path: str, cmap: str = 'afmhot',
+                 wavelength=None):
     """3-D quiver of all camera poses colored by time + a strip of sample
-    images (reference callback.py:180-234)."""
+    images (reference callback.py:180-234). With a wavelength, sample
+    images use the instrument colormap (reference callback.py:228)."""
     plt = _mpl()
+    if wavelength is not None:
+        from sunerf_tpu.utils.colormaps import wavelength_cmap
+        cmap = wavelength_cmap(wavelength, default=cmap)
     poses = np.asarray(poses)
     origins = poses[:, :3, 3]
     norms = np.linalg.norm(origins, axis=-1, keepdims=True)
