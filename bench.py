@@ -259,6 +259,25 @@ def main(argv=None):
         # (SERVING_r4.json). Static citation, not re-measured per run.
         import json as _json
         import os as _os
+
+        # Thomson white-light head (round 5, VERDICT r4 #8): accuracy +
+        # throughput from the committed on-chip protocol row
+        # (scripts/thomson_protocol.py). Static citation, not re-measured
+        # per run (the accuracy oracle is a 16384-point f64 quadrature).
+        _tp = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            'THOMSON_r5.json')
+        if _os.path.exists(_tp):
+            try:
+                _t = _json.load(open(_tp))
+                result.update(
+                    thomson_rays_per_sec=_t.get(
+                        'train_rays_per_sec_per_chip'),
+                    thomson_tb_mae_pct_vs_oracle=_t['tB'][
+                        'mae_percent_of_mean'],
+                    thomson_pb_mae_pct_vs_oracle=_t['pB'][
+                        'mae_percent_of_mean'])
+            except Exception:
+                pass
         for _f, _kind in (('SERVING_FUSED_r4.json', 'fused tpu module'),
                           ('SERVING_r4.json', 'XLA-path module')):
             _p = _os.path.join(_os.path.dirname(

@@ -33,10 +33,16 @@ WAVELENGTHS = [171, 193, 211]
 N_ECLIPTIC = 14  # observers [0, N_ECLIPTIC) form the training band
 
 
-def synth_cubes(data_path: str):
+def synth_cubes(data_path: str, hot_blob: bool = False):
     """Static MHD frame: hydrostatic corona + two streamers, with the
     streamers HOTTER than the quiet corona (1.1 -> 2.0 MK) so the three
-    channels see different structures through the T-response."""
+    channels see different structures through the T-response.
+
+    hot_blob adds a compact dense 6 MK active-region core (round-5
+    5-channel protocol): the 94/131 A responses peak at logT ~6.85/7.05,
+    so without a hot component those channels would only see the cool
+    (Fe VIII/X) response tails and their morphology would degenerate to
+    171's — the blob gives them structure of their own to learn."""
     from sunerf_tpu.data.psi_io import wrhdf_3d
     r = np.linspace(1.0, 1.3, 24)
     th = np.linspace(0.0, np.pi, 32)
@@ -54,6 +60,15 @@ def synth_cubes(data_path: str):
     # vary across the scene
     snorm = np.clip((2.5 * s1 + 1.5 * s2) / 2.5, 0.0, 1.0)
     temp = (1.0 + 1.5 * snorm) * np.ones_like(rho)
+    if hot_blob:
+        # compact low-lying hot core at (lon 5.2, lat +20 deg, r < 1.08):
+        # dense (x3 ambient) and 6 MK, off the streamer longitudes so its
+        # 94/131 signature is spatially distinct from the 193/211 streamers
+        blob = np.exp(-(np.angle(np.exp(1j * (PH - 5.2))) ** 2) / 0.03
+                      - ((TH - (np.pi / 2 - 0.35)) ** 2) / 0.02
+                      - ((R - 1.0) ** 2) / 0.003)
+        rho = rho * (1.0 + 3.0 * blob)
+        temp = temp + 4.5 * blob
     for var, cube in (('rho', rho), ('t', temp)):
         d = os.path.join(data_path, var)
         os.makedirs(d, exist_ok=True)
@@ -99,6 +114,22 @@ def main():
     parser.add_argument('--keep-best', action='store_true',
                         help='validate at steps//8 and score the best '
                              'held-out checkpoint (save_state_best)')
+    parser.add_argument('--wavelengths', type=int, nargs='+',
+                        default=WAVELENGTHS,
+                        help='AIA channels to synthesize and train on '
+                             '(round-5 production protocol: 94 131 171 '
+                             '193 211)')
+    parser.add_argument('--hot-blob', action='store_true',
+                        help='add a compact 6 MK active-region core to the '
+                             'scene so the hot-peaked 94/131 channels have '
+                             'structure of their own (see synth_cubes)')
+    parser.add_argument('--mask-exercise', action='store_true',
+                        help='route the odd-index ecliptic views into a '
+                             'second instrument source missing the first '
+                             'two --wavelengths channels, exercising the '
+                             'union-lambda masks the multi-thermal loader '
+                             'pads per source (reference: '
+                             'multi_thermal_loader.py:162-168,243-254)')
     parser.add_argument('--platform', default=None)
     parser.add_argument('--seed', type=int, default=7)
     parser.add_argument('--workdir', default=None)
@@ -130,9 +161,14 @@ def main():
     raw_dir = os.path.join(data_dir, 'renders')
     train_dir = os.path.join(data_dir, 'train')
 
+    wavelengths = list(args.wavelengths)
+    if args.mask_exercise and len(wavelengths) < 4:
+        parser.error('--mask-exercise needs >= 4 --wavelengths (the second '
+                     'source drops the first two)')
+
     if not os.path.exists(marker):
         cubes = os.path.join(data_dir, 'cubes')
-        synth_cubes(cubes)
+        synth_cubes(cubes, hot_blob=args.hot_blob)
         observers = make_observers()
 
         # calibrate pixel intensity so the brightest channel peaks near 0.7
@@ -141,7 +177,7 @@ def main():
         probe_dir = os.path.join(data_dir, 'probe')
         render_observers({'model': 'MHDModel', 'data_path': cubes,
                           'render_path': probe_dir, 'render_format': ['fits'],
-                          'resolution': 64, 'wavelengths': WAVELENGTHS,
+                          'resolution': 64, 'wavelengths': wavelengths,
                           'batch_size': 8192, 'pixel_intensity_factor': 1.0,
                           'observers': observers[:1]})
         peak = max(float(np.percentile(read_fits(f)[0], 99.9))
@@ -152,22 +188,32 @@ def main():
         render_observers({'model': 'MHDModel', 'data_path': cubes,
                           'render_path': raw_dir, 'render_format': ['fits'],
                           'resolution': args.resolution,
-                          'wavelengths': WAVELENGTHS, 'batch_size': 8192,
+                          'wavelengths': wavelengths, 'batch_size': 8192,
                           'pixel_intensity_factor': pif,
                           'observers': observers})
 
         # ecliptic-band training cut by observer index (observers [0, 14)
-        # are the |lat| <= 7 deg band; the filename carries the index)
+        # are the |lat| <= 7 deg band; the filename carries the index).
+        # --mask-exercise routes odd views into a second instrument source
+        # that lacks the first two channels (union-lambda mask coverage).
+        dropped = set(str(w) for w in wavelengths[:2]) \
+            if args.mask_exercise else set()
         n_train = 0
         for f in sorted(glob.glob(os.path.join(raw_dir, 'aia', '*',
                                                '*.fits'))):
             idx = int(os.path.basename(f).split('_')[1].split('.')[0])
-            if idx < N_ECLIPTIC:
-                dst = os.path.join(train_dir, 'aia',
-                                   os.path.basename(os.path.dirname(f)))
-                os.makedirs(dst, exist_ok=True)
-                shutil.copy(f, dst)
-                n_train += 1
+            if idx >= N_ECLIPTIC:
+                continue
+            wl_dir = os.path.basename(os.path.dirname(f))
+            source = 'aia'
+            if args.mask_exercise and idx % 2 == 1:
+                if wl_dir in dropped:
+                    continue
+                source = 'aia_b'
+            dst = os.path.join(train_dir, source, wl_dir)
+            os.makedirs(dst, exist_ok=True)
+            shutil.copy(f, dst)
+            n_train += 1
         print(f'prep: {n_train} train frames (ecliptic), '
               f'{len(glob.glob(os.path.join(raw_dir, "aia", "*", "*.fits")))}'
               f' ground truth')
@@ -233,7 +279,7 @@ def main():
     gt_files = sorted(glob.glob(os.path.join(raw_dir, 'aia', '*', '*.fits')))
     metrics = evaluate_viewpoints(loader, gt_files)
     out = {'config': {'head': 'density_temperature',
-                      'wavelengths': WAVELENGTHS,
+                      'wavelengths': wavelengths,
                       'n_stratified': args.n_stratified,
                       'n_hierarchical': args.n_hierarchical,
                       'proposal_coarse': bool(coarse),
@@ -251,6 +297,17 @@ def main():
         out['config']['model_shape'] = [args.model_layers, args.model_filter]
     if args.tier_warmup_steps:
         out['config']['tier_warmup_steps'] = args.tier_warmup_steps
+    if args.resolution != 128:
+        # key absent at the mini-protocol default (matches psi_protocol)
+        out['config']['resolution'] = args.resolution
+    if args.hot_blob:
+        # scene-changing: signature key (absent for the r4 3-channel scene)
+        out['config']['hot_blob'] = True
+    if args.mask_exercise:
+        # data-layout-changing: signature key; records which channels the
+        # second source lacks
+        out['config']['mask_exercise'] = {
+            'dropped_from_odd_views': wavelengths[:2]}
     if args.keep_best:
         out['config']['keep_best'] = True
         out['scored_bundle'] = os.path.basename(bundle)

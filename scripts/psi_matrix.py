@@ -159,19 +159,38 @@ def main():
     parser.add_argument('--out', default='PSI_MATRIX_r3.jsonl')
     parser.add_argument('--seeds', type=int, nargs='+', default=[7, 8, 9])
     parser.add_argument('--data-cache', default='/tmp/psi_scene_cache')
+    parser.add_argument('--only', nargs='+', default=None,
+                        help='run only these config labels (e.g. '
+                             '--only arch_6x384 arch_4x256)')
+    parser.add_argument('--keep-best', action='store_true',
+                        help='append --keep-best to every run (changes row '
+                             'semantics/signature: use a separate --out)')
+    parser.add_argument('--resolution', type=int, default=128)
     args = parser.parse_args()
+
+    configs = [c for c in CONFIGS
+               if args.only is None or c[0] in args.only]
+    if args.only and len(configs) != len(args.only):
+        known = {c[0] for c in CONFIGS}
+        sys.exit(f'unknown --only labels: {set(args.only) - known}')
 
     done = []
     if os.path.exists(args.out):
         with open(args.out) as fh:
             done = [json.loads(line)['config'] for line in fh if line.strip()]
 
-    total = len(CONFIGS) * len(args.seeds)
+    total = len(configs) * len(args.seeds)
     i = 0
     for seed in args.seeds:
-        for label, steps, extra in CONFIGS:
+        for label, steps, extra in configs:
             i += 1
-            sig = run_signature(steps, extra, seed)
+            run_extra = list(extra)
+            if args.keep_best and '--keep-best' not in run_extra:
+                run_extra.append('--keep-best')
+            sig = run_signature(steps, run_extra, seed)
+            if args.resolution != 128:
+                # matches psi_protocol's conditional resolution key
+                sig['resolution'] = args.resolution
             if sig in done:
                 print(f'[{i}/{total}] {label} s{seed}: already done, skip',
                       flush=True)
@@ -179,7 +198,9 @@ def main():
             cmd = [sys.executable, os.path.join(ROOT, 'scripts',
                                                 'psi_protocol.py'),
                    '--steps', str(steps), '--seed', str(seed),
-                   '--out', args.out, '--data-cache', args.data_cache] + extra
+                   '--resolution', str(args.resolution),
+                   '--out', args.out,
+                   '--data-cache', args.data_cache] + run_extra
             print(f'[{i}/{total}] {label} s{seed}: running', flush=True)
             r = subprocess.run(cmd)
             if r.returncode != 0:

@@ -49,6 +49,72 @@ def synth_cubes(data_path: str):
                  cube.astype(np.float32))
 
 
+def ensure_scene(data_dir: str, resolution: int):
+    """Synthesize (or reuse) the deterministic psi_193 protocol scene.
+
+    Returns (train_dir, gt_dir). Importable so offline scorers
+    (scripts/score_bundle.py) can rebuild the exact ground-truth views a
+    bundle was trained against without re-running the protocol.
+    """
+    from sunerf_tpu.data.fits import read_fits
+    from sunerf_tpu.data.norms import PSI_NORMS
+    from sunerf_tpu.data.prep import prep_file
+    from sunerf_tpu.evaluation.image_render import render_observers
+
+    marker = os.path.join(data_dir, '.scene_complete')
+    train_dir = os.path.join(data_dir, 'train')
+    gt_dir = os.path.join(data_dir, 'gt')
+    if os.path.exists(marker):
+        print(f'reusing cached scene in {data_dir}')
+        return train_dir, gt_dir
+
+    cubes = os.path.join(data_dir, 'cubes')
+    synth_cubes(cubes)
+
+    # 18 viewpoints: 14 ecliptic (train band) + 4 high-lat test views
+    observers = [{'name': 'psi', 'lat': 6.0 * ((i % 3) - 1) / 1.5,
+                  'lon': i * (360.0 / 14), 'distance': 215.0,
+                  'time': datetime(2012, 8, 23).isoformat()}
+                 for i in range(14)]
+    observers += [{'name': 'psi', 'lat': lat, 'lon': lon,
+                   'distance': 215.0,
+                   'time': datetime(2012, 8, 23).isoformat()}
+                  for lat, lon in ((-50.0, 30.0), (-25.0, 120.0),
+                                   (25.0, 210.0), (50.0, 300.0))]
+
+    # calibrate pixel intensity so the peak lands near the PSI 193 vmax
+    probe_dir = os.path.join(data_dir, 'probe')
+    render_observers({'model': 'MHDModel', 'data_path': cubes,
+                      'render_path': probe_dir, 'render_format': ['fits'],
+                      'resolution': 64, 'wavelengths': [193],
+                      'batch_size': 8192, 'pixel_intensity_factor': 1.0,
+                      'observers': observers[:1]})
+    img, _ = read_fits(sorted(glob.glob(
+        os.path.join(probe_dir, 'psi', '193', '*.fits')))[0])
+    pif = 0.7 * PSI_NORMS[193] / max(float(np.percentile(img, 99.9)),
+                                     1e-30)
+
+    raw_dir = os.path.join(data_dir, 'renders')
+    render_observers({'model': 'MHDModel', 'data_path': cubes,
+                      'render_path': raw_dir, 'render_format': ['fits'],
+                      'resolution': resolution, 'wavelengths': [193],
+                      'batch_size': 8192, 'pixel_intensity_factor': pif,
+                      'observers': observers})
+
+    raw_glob = os.path.join(raw_dir, 'psi', '193', '*.fits')
+    n_train = n_gt = 0
+    for f in sorted(glob.glob(raw_glob)):
+        if prep_file(f, train_dir, 'psi', resolution=resolution):
+            n_train += 1
+        if prep_file(f, gt_dir, 'psi', resolution=resolution,
+                     lat_cut=False):
+            n_gt += 1
+    print(f'prep: {n_train} train views (ecliptic), {n_gt} ground truth')
+    with open(marker, 'w') as fh:
+        fh.write('ok')
+    return train_dir, gt_dir
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--steps', type=int, default=4000)
@@ -135,6 +201,24 @@ def main():
                              'long-schedule degradation of small fields '
                              '(RESULTS.md arch rows). Changes row semantics: '
                              'use a separate matrix file.')
+    parser.add_argument('--drift-probe-gate', action='store_true',
+                        help='probe-aware keep_best (train/loop.py '
+                             'drift_probe_gate): veto marginal band-val '
+                             'promotions whose high-latitude probe render '
+                             'drifted below --drift-probe-warn-db from the '
+                             'reigning best bundle (requires --keep-best)')
+    parser.add_argument('--drift-probe-warn-db', type=float, default=25.0)
+    parser.add_argument('--drift-probe-gate-margin-db', type=float,
+                        default=1.0,
+                        help='band-val gains at least this large bypass the '
+                             'gate (real improvements are never vetoed)')
+    parser.add_argument('--report-hbm', action='store_true',
+                        help='record device memory stats (peak bytes in '
+                             'use) in the output row — the 1024 px '
+                             'reference-prep-resolution rehearsal needs '
+                             'the memory headroom on record '
+                             '(reference prep default: '
+                             '/root/reference/sunerf/data/utils.py:74)')
     parser.add_argument('--platform', default=None,
                         help="force a jax platform (e.g. 'cpu' for offline "
                              "smoke runs; env vars are too late — the "
@@ -157,9 +241,6 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     from sunerf_tpu.data.loaders import build_single_channel_data
-    from sunerf_tpu.data.norms import PSI_NORMS
-    from sunerf_tpu.data.prep import prep_file
-    from sunerf_tpu.evaluation.image_render import render_observers
     from sunerf_tpu.evaluation.loader import SuNeRFLoader
     from sunerf_tpu.evaluation.metrics_harness import evaluate_viewpoints
     from sunerf_tpu.models.fields import emission_config
@@ -170,58 +251,7 @@ def main():
 
     workdir = args.workdir or tempfile.mkdtemp(prefix='psi_protocol_')
     data_dir = args.data_cache or workdir
-    marker = os.path.join(data_dir, '.scene_complete')
-    train_dir = os.path.join(data_dir, 'train')
-    gt_dir = os.path.join(data_dir, 'gt')
-
-    if not os.path.exists(marker):
-        cubes = os.path.join(data_dir, 'cubes')
-        synth_cubes(cubes)
-
-        # 18 viewpoints: 14 ecliptic (train band) + 4 high-lat test views
-        observers = [{'name': 'psi', 'lat': 6.0 * ((i % 3) - 1) / 1.5,
-                      'lon': i * (360.0 / 14), 'distance': 215.0,
-                      'time': datetime(2012, 8, 23).isoformat()}
-                     for i in range(14)]
-        observers += [{'name': 'psi', 'lat': lat, 'lon': lon,
-                       'distance': 215.0,
-                       'time': datetime(2012, 8, 23).isoformat()}
-                      for lat, lon in ((-50.0, 30.0), (-25.0, 120.0),
-                                       (25.0, 210.0), (50.0, 300.0))]
-
-        # calibrate pixel intensity so the peak lands near the PSI 193 vmax
-        probe_dir = os.path.join(data_dir, 'probe')
-        render_observers({'model': 'MHDModel', 'data_path': cubes,
-                          'render_path': probe_dir, 'render_format': ['fits'],
-                          'resolution': 64, 'wavelengths': [193],
-                          'batch_size': 8192, 'pixel_intensity_factor': 1.0,
-                          'observers': observers[:1]})
-        from sunerf_tpu.data.fits import read_fits
-        img, _ = read_fits(sorted(glob.glob(
-            os.path.join(probe_dir, 'psi', '193', '*.fits')))[0])
-        pif = 0.7 * PSI_NORMS[193] / max(float(np.percentile(img, 99.9)),
-                                         1e-30)
-
-        raw_dir = os.path.join(data_dir, 'renders')
-        render_observers({'model': 'MHDModel', 'data_path': cubes,
-                          'render_path': raw_dir, 'render_format': ['fits'],
-                          'resolution': args.resolution, 'wavelengths': [193],
-                          'batch_size': 8192, 'pixel_intensity_factor': pif,
-                          'observers': observers})
-
-        raw_glob = os.path.join(raw_dir, 'psi', '193', '*.fits')
-        n_train = n_gt = 0
-        for f in sorted(glob.glob(raw_glob)):
-            if prep_file(f, train_dir, 'psi', resolution=args.resolution):
-                n_train += 1
-            if prep_file(f, gt_dir, 'psi', resolution=args.resolution,
-                         lat_cut=False):
-                n_gt += 1
-        print(f'prep: {n_train} train views (ecliptic), {n_gt} ground truth')
-        with open(marker, 'w') as fh:
-            fh.write('ok')
-    else:
-        print(f'reusing cached scene in {data_dir}')
+    train_dir, gt_dir = ensure_scene(data_dir, args.resolution)
 
     data = build_single_channel_data(
         os.path.join(train_dir, '*.fits'),
@@ -284,6 +314,12 @@ def main():
                                          # training; trace summarized into
                                          # the output row (highlat_probe)
                                          drift_probe_views=4,
+                                         drift_probe_gate=(
+                                             args.drift_probe_gate),
+                                         drift_probe_warn_db=(
+                                             args.drift_probe_warn_db),
+                                         drift_probe_gate_margin_db=(
+                                             args.drift_probe_gate_margin_db),
                                          seed=args.seed),
             workdir=run_dir)
 
@@ -388,6 +424,13 @@ def main():
         # no validation improved on -inf, i.e. the run produced no val rows)
         out['config']['keep_best'] = True
         out['scored_bundle'] = os.path.basename(bundle)
+    if args.drift_probe_gate:
+        # selection-changing: must differentiate the row signature (the
+        # repair-experiment rows, VERDICT r4 #2); rejected-promotion count
+        # lands in highlat_probe below
+        out['config']['probe_gate'] = {
+            'warn_db': args.drift_probe_warn_db,
+            'margin_db': args.drift_probe_gate_margin_db}
     stab = [round(r['probe_stability_db'], 2) for r in recs
             if 'probe_stability_db' in r]
     drift = [round(r['probe_drift_since_best_db'], 2) for r in recs
@@ -403,6 +446,9 @@ def main():
             'drift_since_best_db': drift,
             'warnings': int(sum(1 for r in recs
                                 if r.get('probe_drift_warning')))}
+        if args.drift_probe_gate:
+            out['highlat_probe']['gate_rejections'] = int(
+                sum(1 for r in recs if r.get('probe_gate_rejected')))
     if args.occupancy:
         # key absent when off: keeps pre-occupancy matrix rows' signatures
         # (and so psi_matrix.py idempotency) unchanged
@@ -412,6 +458,17 @@ def main():
         if tail:
             out['occ_fracs'] = {k: tail[-1][k] for k in
                                 ('occ_r_frac', 'occ_ang_frac', 'occ_vol_frac')}
+    if args.report_hbm:
+        # observational (not a signature key): peak/current device memory
+        # after train + eval — jax exposes these per-backend; the axon
+        # tunnel may not implement memory_stats, so record what exists
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception as e:  # pragma: no cover - backend-dependent
+            stats = {'error': str(e)}
+        out['hbm'] = {k: stats[k] for k in ('peak_bytes_in_use',
+                                            'bytes_in_use', 'bytes_limit',
+                                            'error') if k in stats}
     print(json.dumps(out))
     if args.out:
         with open(args.out, 'a') as fh:
