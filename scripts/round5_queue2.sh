@@ -24,6 +24,16 @@ timeout 1800 python scripts/score_bundle.py \
     2>/tmp/r5_score_bundle2.log \
     && echo "--- salvaged-bundle score done $(date) ---"
 
+# within-protocol control for the arch rows: the reigning quality-matched
+# config (8x512 + prop_24_48) under the SAME keep_best semantics — the
+# PSI_MATRIX_r3 rows are final-step-scored, so cross-file comparison
+# would mix selection rules
+timeout 10800 python scripts/psi_matrix.py --out PSI_ARCH_r5.jsonl \
+    --seeds 7 8 9 --keep-best --data-cache /tmp/psi_scene_cache_128 \
+    --only prop_24_48 \
+    >/tmp/r5_arch_control.log 2>&1 \
+    && echo "--- prop_24_48 keep_best control done $(date) ---"
+
 timeout 7200 python scripts/psi_protocol.py --resolution 512 --keep-best \
     --data-cache /tmp/psi_scene_cache_512 --out PSI_ARCH_r5.jsonl \
     --seed 7 --steps 55000 \
