@@ -36,7 +36,9 @@ def test_channel_identities():
     # construction, so only R-dominance is an algorithm invariant.
     assert t304[128, 0] > t304[128, 1]
     assert t304[128, 0] > t304[128, 2]
-    assert t304[128, 0] > t171[128, 0]  # c3 ramp is brighter than c1 mid-scale
+    # mid-scale ramp ordering is c1 (sqrt) > c3 (blend) > c0 (linear):
+    # 171's R channel (c1) tops 304's R (c3), which tops 304's B (c0)
+    assert t171[128, 0] > t304[128, 0] > t304[128, 2]
     t335 = aia_color_table(335)
     assert t335[128, 2] > t335[128, 1]
 
