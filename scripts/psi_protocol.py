@@ -207,7 +207,7 @@ def main():
                              'promotions whose high-latitude probe render '
                              'drifted below --drift-probe-warn-db from the '
                              'reigning best bundle (requires --keep-best)')
-    parser.add_argument('--drift-probe-warn-db', type=float, default=25.0)
+    parser.add_argument('--drift-probe-warn-db', type=float, default=34.0)
     parser.add_argument('--drift-probe-gate-margin-db', type=float,
                         default=1.0,
                         help='band-val gains at least this large bypass the '

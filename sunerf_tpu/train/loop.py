@@ -91,26 +91,30 @@ class TrainerConfig:
     # latitude late in long schedules while the ecliptic-band validation
     # — the only ground truth solar data provides — stays flat, so
     # keep_best cannot see the failure (SCALE_PROOF_r4.jsonl seed 8,
-    # RESULTS.md round-4 scale section). Observational: metrics + a loud
-    # warning, NOT wired into checkpoint selection until validated
-    # against a reproduced failure. 0 = off.
+    # RESULTS.md round-4 scale section). 0 = off.
     drift_probe_views: int = 0
     drift_probe_resolution: int = 64
     drift_probe_lat_deg: float = 60.0
     # warn when band-val sits within 0.5 dB of its high-water while the
-    # probe render has moved by more than this (probe PSNR below this)
-    drift_probe_warn_db: float = 25.0
-    # PROBE-AWARE CHECKPOINT SELECTION (opt-in, round-4 seed for round 5):
-    # when set, a keep_best promotion is VETOED if the candidate's band-val
-    # improvement over the reigning best is marginal
-    # (< drift_probe_gate_margin_db) while its high-latitude probe render
-    # has moved more than the warn threshold from the best-checkpoint
-    # reference — the seed-8 long-schedule signature (band-val creeps while
-    # |lat|≥25° degrades). Large band-val improvements always promote:
-    # early training legitimately moves everything. KNOWN LIMIT
-    # (SCALE_PROOF_r4 512px seed-7 row): the gate only sees LATE drift;
-    # a run that mis-converges at high latitude EARLY and stays
-    # self-consistent never trips it. Requires drift_probe_views > 0.
+    # probe render has moved by more than this (probe PSNR below this).
+    # Default recalibrated in round 5: both recorded real failures'
+    # drift traces bottom out at ~27-31 dB (the original 25 dB guess can
+    # NEVER trip on them), and the gate-repair run at 34 dB vetoed the
+    # drifting promotions and recovered +3.52 dB of a -4.10 dB failure
+    # (SCALE_PROOF_r4.jsonl s7 512px probe_gate row; RESULTS.md round 5).
+    drift_probe_warn_db: float = 34.0
+    # PROBE-AWARE CHECKPOINT SELECTION (opt-in): when set, a keep_best
+    # promotion is VETOED if the candidate's band-val improvement over
+    # the reigning best is marginal (< drift_probe_gate_margin_db) while
+    # its high-latitude probe render has moved more than the warn
+    # threshold from the best-checkpoint reference — the long-schedule
+    # signature (band-val creeps while |lat|>=25° degrades). Large
+    # band-val improvements always promote: early training legitimately
+    # moves everything. Validated round 5 on the reproduced 512px
+    # over-training failure: gated keep_best 28.90 vs ungated 25.38
+    # (parity 29.48) — a guardrail for schedules that over-run the
+    # time-to-quality rule (MIGRATION.md), not a substitute for it.
+    # Requires drift_probe_views > 0.
     drift_probe_gate: bool = False
     drift_probe_gate_margin_db: float = 1.0
 
