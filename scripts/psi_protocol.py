@@ -49,7 +49,7 @@ def synth_cubes(data_path: str):
                  cube.astype(np.float32))
 
 
-def ensure_scene(data_dir: str, resolution: int):
+def ensure_scene(data_dir: str, resolution: int, prep_batch: int = 8192):
     """Synthesize (or reuse) the deterministic psi_193 protocol scene.
 
     Returns (train_dir, gt_dir). Importable so offline scorers
@@ -98,7 +98,8 @@ def ensure_scene(data_dir: str, resolution: int):
     render_observers({'model': 'MHDModel', 'data_path': cubes,
                       'render_path': raw_dir, 'render_format': ['fits'],
                       'resolution': resolution, 'wavelengths': [193],
-                      'batch_size': 8192, 'pixel_intensity_factor': pif,
+                      'batch_size': prep_batch,
+                      'pixel_intensity_factor': pif,
                       'observers': observers})
 
     raw_glob = os.path.join(raw_dir, 'psi', '193', '*.fits')
@@ -118,6 +119,10 @@ def ensure_scene(data_dir: str, resolution: int):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--steps', type=int, default=4000)
+    parser.add_argument('--prep-batch', type=int, default=8192,
+                        help='rays per render chunk during scene prep '
+                             '(drop for 1024px prep if the remote worker '
+                             'faults on the large MHD renders)')
     parser.add_argument('--resolution', type=int, default=128)
     parser.add_argument('--n-stratified', type=int, default=64)
     parser.add_argument('--n-hierarchical', type=int, default=128)
@@ -251,7 +256,8 @@ def main():
 
     workdir = args.workdir or tempfile.mkdtemp(prefix='psi_protocol_')
     data_dir = args.data_cache or workdir
-    train_dir, gt_dir = ensure_scene(data_dir, args.resolution)
+    train_dir, gt_dir = ensure_scene(data_dir, args.resolution,
+                                     prep_batch=args.prep_batch)
 
     data = build_single_channel_data(
         os.path.join(train_dir, '*.fits'),
