@@ -45,3 +45,17 @@ if [ ! -s REHEARSAL_1024_r5.jsonl ]; then
 fi
 
 log "=== round5_queue5 done ==="
+
+# Appended 01:27 UTC while queue5 waits on queue4: re-try the dt_long s7
+# row that was killed hung at 01:16 (worker-crash casualty). Guarded so
+# it never collides with the driver's end-of-round bench (~04:40 UTC).
+if [ "$(date -u +%H%M)" -lt 0340 ] 2>/dev/null; then
+  timeout 5400 python scripts/dt_matrix_r5.py --out DT_MATRIX_r5.jsonl \
+      --seeds 7 --data-cache /tmp/dt_scene_cache_r5 \
+      --only dt_long >>/tmp/r5_dt_matrix.log 2>&1
+  commit_files "DT r5 matrix row: dt_long seed 7 (retry after the hung-client kill)" \
+      DT_MATRIX_r5.jsonl
+else
+  log "skipping dt_long s7 retry: too close to the driver bench window"
+fi
+log "=== round5_queue5 (appended tail) done ==="
