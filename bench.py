@@ -251,12 +251,17 @@ def main(argv=None):
                     '(+2.93/-5.67 dB) — short-schedule tool only '
                     '(RESULTS.md round-4 scale section)',
                 dt_quality_matched_config='dt proposal 4x128 + 24+48',
-                dt_quality_matched_x=3.22,
-                dt_quality_matched_evidence='3-seed equal-wall-clock '
-                    'multi-thermal MHD protocol: test PSNR 26.94+-1.12 vs '
-                    'parity 20.01+-5.97 at 3.22x measured DT throughput '
-                    '(153.5k vs 47.6k rays/s, DT_MATRIX_r4.jsonl; '
-                    'RESULTS.md round-4 DT section)')
+                dt_quality_matched_x=3.20,
+                dt_quality_matched_evidence='256px 5-channel union-mask '
+                    'protocol, 2 seeds (DT_MATRIX_r5.jsonl): at equal '
+                    'wall-clock the cut matches the parity MEAN with 2.6x '
+                    'tighter spread (31.71+-1.67 vs 31.42+-4.37) at 3.2x '
+                    'measured DT throughput (134.8k vs 42.1k rays/s). '
+                    'Scope: wall-clock-constrained tool only — given equal '
+                    'STEPS the converged 64+128 parity control leads by '
+                    '>4 dB and 4x-steps dt_long does not close it; tiered '
+                    'DT demoted (seed-8 collapse despite warmup). '
+                    'RESULTS.md round-5 DT section')
 
         # serving citation (round 4): artifact-vs-live from the committed
         # on-chip probe of the flagship deployment artifact, fused module
