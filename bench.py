@@ -253,10 +253,11 @@ def main(argv=None):
                 dt_quality_matched_config='dt proposal 4x128 + 24+48',
                 dt_quality_matched_x=3.20,
                 dt_quality_matched_evidence='256px 5-channel union-mask '
-                    'protocol, 2 seeds (DT_MATRIX_r5.jsonl): at equal '
-                    'wall-clock the cut matches the parity MEAN with 2.6x '
-                    'tighter spread (31.71+-1.67 vs 31.42+-4.37) at 3.2x '
-                    'measured DT throughput (134.8k vs 42.1k rays/s). '
+                    'protocol (DT_MATRIX_r5.jsonl): at equal wall-clock '
+                    'the cut (31.71+-1.67, 2 seeds) sits 1 dB above the '
+                    'parity mean (30.67+-3.36, 3 seeds) with half the '
+                    'spread at 3.2x measured DT throughput (134.8k vs '
+                    '42.1k rays/s). '
                     'Scope: wall-clock-constrained tool only — given equal '
                     'STEPS the converged 64+128 parity control leads by '
                     '>4 dB and 4x-steps dt_long does not close it; tiered '
